@@ -1,0 +1,14 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before the first jax import anywhere in the test
+process, hence this top-level conftest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
