@@ -1,0 +1,79 @@
+"""Benchmark: stage-3-style 224×224 patch inference throughput on TPU.
+
+Measures the flagship path — UNet++/EfficientNet-b0 forward (the stage-2/3
+workhorse) in bfloat16 at batch 64 — as end-to-end device throughput with
+inputs pre-staged in HBM and fully pipelined dispatch (one sync at the
+end), matching how the stage-3 inference loop runs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+``BASELINE_PATCHES_PER_SEC`` is our measured-equivalent estimate for the
+reference stack (UNet++/effnet-b0, fp32, batch 16, PyTorch 1.12 cuDNN on
+1× RTX 3090): ~380 patches/s forward-only.  vs_baseline = value / that.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PATCHES_PER_SEC = 380.0
+BATCH = 64
+SIZE = 224
+WARMUP = 3
+ITERS = 30
+
+
+def main():
+    from pistoseg_tpu.models.factory import create_segmentation_model
+
+    model = create_segmentation_model("UnetPlusPlus", "efficientnet-b0", 3)
+
+    # init on CPU (eager init through the device tunnel is pathologically
+    # slow); transfer the param tree once.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init, backend="cpu")(
+            jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
+        )
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def forward(variables, x):
+        return model.apply(variables, x, train=False)
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16
+    )
+
+    # warmup + compile
+    out = forward(variables, x)
+    out.block_until_ready()
+    for _ in range(WARMUP):
+        out = forward(variables, x)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "unetpp_b0_224_infer_throughput",
+                "value": round(patches_per_sec, 1),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Orbax checkpoint IO with explicit metadata and best/last policies.
+
+The reference persists Lightning ``.ckpt`` files named
+``{epoch:02d}-{metric:.4f}.ckpt`` + ``last.ckpt`` and *discovers* the best
+checkpoint by substring search for ``'epoch='``
+(``mosaic_train.py:121-130``, ``infer_pseudo_masks.py:166-171``) — a
+stringly-typed contract.  Here checkpoints carry structured metadata
+(step, epoch, metric, config) and are addressed as ``best``/``last``
+explicitly (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_savable(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+class CheckpointManager:
+    """best/last checkpoints under ``root/`` with a metadata sidecar."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _slot(self, name: str) -> Path:
+        return self.root / name
+
+    def save(
+        self,
+        name: str,
+        tree: Any,
+        *,
+        epoch: int = -1,
+        step: int = -1,
+        metric: float = float("nan"),
+        extra: Optional[dict] = None,
+    ) -> None:
+        path = self._slot(name)
+        self._ckptr.save(path.absolute(), _to_savable(tree), force=True)
+        meta = {"epoch": epoch, "step": step, "metric": metric}
+        if extra:
+            meta.update(extra)
+        (self.root / f"{name}.meta.json").write_text(json.dumps(meta, indent=2))
+
+    def restore(self, name: str, target: Optional[Any] = None) -> Any:
+        path = self._slot(name)
+        if target is not None:
+            return self._ckptr.restore(path.absolute(), item=_to_savable(target))
+        return self._ckptr.restore(path.absolute())
+
+    def metadata(self, name: str) -> dict:
+        p = self.root / f"{name}.meta.json"
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def exists(self, name: str) -> bool:
+        return self._slot(name).exists()
+
+    def save_best_last(self, tree, epoch: int, metric: float, is_best: bool,
+                       step: int = -1, extra: Optional[dict] = None) -> None:
+        self.save("last", tree, epoch=epoch, step=step, metric=metric, extra=extra)
+        if is_best:
+            self.save("best", tree, epoch=epoch, step=step, metric=metric, extra=extra)

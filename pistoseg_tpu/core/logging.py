@@ -1,0 +1,59 @@
+"""Experiment logging: CSV metrics, JSONL events, code-free console blocks.
+
+The reference logs via TensorBoard+CSV Lightning loggers, CRITICAL-level
+file logging, and ANSI console blocks (``mosaic_train.py:94-117``,
+``mosaic_module.py:203-215``).  Here: a CSV writer per stage, a JSONL
+event stream (machine-readable), and the same colored console metric
+block.  TensorBoard is intentionally omitted (not in the image); the CSV
+is Lightning-CSV-compatible (one row per epoch, columns sorted).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str | Path, stage: str):
+        self.dir = Path(log_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.stage = stage
+        self.csv_path = self.dir / f"{stage}_metrics.csv"
+        self.jsonl_path = self.dir / f"{stage}_events.jsonl"
+        self._fieldnames: Optional[list] = None
+
+    def log(self, metrics: Dict) -> None:
+        row = {k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()}
+        row["wall_time"] = time.time()
+        with self.jsonl_path.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self._fieldnames is None:
+            self._fieldnames = sorted(row.keys())
+            write_header = not self.csv_path.exists()
+            with self.csv_path.open("a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+                if write_header:
+                    w.writeheader()
+                w.writerow(row)
+        else:
+            with self.csv_path.open("a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+                w.writerow(row)
+
+
+def console_metric_block(title: str, metrics: Dict[str, float], color: str = "35") -> None:
+    """Reference-style ANSI metric block (``mosaic_module.py:203-215``)."""
+    print("\n" + "-" * 50)
+    print(f"\n{title}")
+    for name, value in metrics.items():
+        if isinstance(value, float):
+            print(f"{name}: \033[1;{color}m{value:.4f}\033[0m")
+        else:
+            print(f"{name}: \033[1;{color}m{value}\033[0m")
+    print("\n" + "-" * 50)
+    sys.stdout.flush()

@@ -1,0 +1,144 @@
+"""UNet++ decoder with scSE attention + segmentation head.
+
+Re-implements the architecture the reference instantiates via
+``smp.create_model('UnetPlusPlus', encoder_name='efficientnet-b0',
+decoder_attention_type='scse')`` (``mosaic_module.py:78-86``,
+``segmentation_module.py``) as native flax/NHWC: the nested dense-skip
+decoder (x_{i,j} grid over 5 feature levels, decoder channels
+256/128/64/32/16), each block = nearest ×2 upsample → concat skips →
+scSE → Conv-BN-ReLU ×2 → scSE, and a 3×3 conv head at input resolution.
+
+TPU notes: nearest ×2 upsample is a reshape-broadcast (no gather);
+concats are channel-dim (last, lane-aligned); all convs SAME/NHWC on the
+MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pistoseg_tpu.models.efficientnet import EfficientNetEncoder, encoder_out_channels
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) → (N, 2H, 2W, C) by pure reshape/broadcast."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+class SCSE(nn.Module):
+    """Concurrent spatial & channel squeeze-excitation (smp 'scse')."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        # cSE
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(max(1, c // self.reduction), (1, 1), name="cse_reduce")(s)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1), name="cse_expand")(s)
+        cse = x * nn.sigmoid(s)
+        # sSE
+        q = nn.Conv(1, (1, 1), name="sse")(x)
+        sse = x * nn.sigmoid(q)
+        return cse + sse
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum)(x)
+        return nn.relu(x)
+
+
+class DecoderBlock(nn.Module):
+    out_channels: int
+    attention: Optional[str] = "scse"
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None, train: bool = False
+    ) -> jnp.ndarray:
+        x = upsample2x_nearest(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+            if self.attention == "scse":
+                x = SCSE(name="attention1")(x)
+        x = ConvBNReLU(self.out_channels, name="conv1")(x, train=train)
+        x = ConvBNReLU(self.out_channels, name="conv2")(x, train=train)
+        if self.attention == "scse":
+            x = SCSE(name="attention2")(x)
+        return x
+
+
+class UnetPlusPlusDecoder(nn.Module):
+    """Nested dense-skip decoder over 5 encoder levels.
+
+    Follows smp's UnetPlusPlusDecoder wiring: with reversed encoder
+    channels (deepest first), dense grid x_{depth, layer}; the final block
+    x_{0, 4} upsamples to input resolution with no skip.
+    """
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention: Optional[str] = "scse"
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
+        # features: [r2, r4, r8, r16, r32] → deepest first
+        feats = list(features)[::-1]  # [f(32), f(16), f(8), f(4), f(2)]
+        depth = len(feats) - 1  # 4
+        dch = list(self.decoder_channels)
+
+        # smp out-channel rule: a block in column `li` outputs
+        # decoder_channels[li] on the main row (d == 0) and
+        # feats[li+1]-many channels on dense rows (d > 0).
+        dense = {}
+        for layer in range(depth):           # diagonal index as smp loops
+            for d in range(depth - layer):
+                li = d + layer               # layer index of this block
+                if layer == 0:
+                    out_ch = dch[li] if d == 0 else feats[li + 1].shape[-1]
+                    # first diagonal: input feats[d], skip feats[d+1]
+                    dense[(d, li)] = DecoderBlock(
+                        out_ch, self.attention, name=f"x_{d}_{li}"
+                    )(feats[d], feats[d + 1], train=train)
+                else:
+                    cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
+                    skip = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
+                    out_ch = dch[li] if d == 0 else feats[li + 1].shape[-1]
+                    dense[(d, li)] = DecoderBlock(
+                        out_ch, self.attention, name=f"x_{d}_{li}"
+                    )(dense[(d, li - 1)], skip, train=train)
+        # final ×2 to input resolution, no skip
+        dense[(0, depth)] = DecoderBlock(
+            dch[depth], self.attention, name=f"x_0_{depth}"
+        )(dense[(0, depth - 1)], None, train=train)
+        return dense[(0, depth)]
+
+
+class UnetPlusPlus(nn.Module):
+    """Full segmentation model: EfficientNet encoder → UNet++ → class logits."""
+
+    num_classes: int = 3
+    encoder_name: str = "efficientnet-b0"
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention: Optional[str] = "scse"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feats = EfficientNetEncoder(self.encoder_name, name="encoder")(x, train=train)
+        y = UnetPlusPlusDecoder(
+            tuple(self.decoder_channels), self.attention, name="decoder"
+        )(feats, train=train)
+        return nn.Conv(self.num_classes, (3, 3), padding="SAME", name="head")(y)

@@ -1,0 +1,74 @@
+"""CAM canvas math: multi-scale sliding-window class-activation ensembling.
+
+Rebuilds the canvas accumulation of ``generate_validation_cam``
+(``OEEM/classification/utils/generate_CAM.py:13-102``) and the training
+CAM exporter (``prepare_seg_inputs.py:80-138``): per scale, forward every
+crop, bilinear-resize the crop CAM to crop size, accumulate into
+sum/count canvases, normalize (sum/count, then per-image min-max), resize
+to native size, sum over scales, and finally (for the stage-4 contract)
+bilinear-downsample to 32×32.
+
+TPU-first: crop CAMs for one slide are batched into a single forward,
+and the overlap-add rides :func:`pistoseg_tpu.ops.stitch.stitch_canvas`
+on device; only the final per-slide normalize happens host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pistoseg_tpu.ops.resize import resize
+from pistoseg_tpu.ops.stitch import stitch_canvas
+
+
+def accumulate_scale_cam(
+    crop_cams: jnp.ndarray,   # (N, p, p, C) per-crop CAM already at crop size
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    valid: jnp.ndarray,
+    canvas_hw: Tuple[int, int],
+) -> np.ndarray:
+    """Overlap-add one scale's crops → averaged canvas (H, W, C)."""
+    value, count = stitch_canvas(crop_cams, ys, xs, valid, *canvas_hw)
+    return np.asarray(value) / np.maximum(np.asarray(count), 1e-12)
+
+
+def normalize_cam(canvas: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    """Per-class min-max normalization over the full canvas
+    (reference ``generate_CAM.py`` canvas normalize)."""
+    mn = canvas.min(axis=(0, 1), keepdims=True)
+    mx = canvas.max(axis=(0, 1), keepdims=True)
+    return (canvas - mn) / np.maximum(mx - mn, eps)
+
+
+def ensemble_scales(
+    scale_canvases: Sequence[np.ndarray],  # each (h_s, w_s, C), normalized
+    native_hw: Tuple[int, int],
+) -> np.ndarray:
+    """Resize each scale canvas to native size and average."""
+    acc = np.zeros(native_hw + (scale_canvases[0].shape[-1],), np.float32)
+    for c in scale_canvases:
+        acc += np.asarray(resize(jnp.asarray(c, jnp.float32), native_hw, "linear"))
+    return acc / len(scale_canvases)
+
+
+def cam_to_artifact(cam_native: np.ndarray, size: int = 32) -> np.ndarray:
+    """Downsample the ensembled CAM to the stage-4 [C, 32, 32] contract
+    (``prepare_seg_inputs.py:137-138``)."""
+    small = np.asarray(resize(jnp.asarray(cam_native, jnp.float32), (size, size), "linear"))
+    return np.ascontiguousarray(small.transpose(2, 0, 1))
+
+
+def cam_argmax_with_label_mask(
+    cam: np.ndarray,            # (H, W, C) class scores
+    label: Optional[np.ndarray] = None,  # (C,) image-level multilabel
+) -> np.ndarray:
+    """Label-constrained argmax (OEEM class elimination,
+    ``generate_CAM.py`` label masking): classes absent from the image
+    label cannot win."""
+    if label is not None:
+        cam = np.where(label[None, None, :] > 0, cam, -np.inf)
+    return cam.argmax(-1).astype(np.uint8)

@@ -38,9 +38,11 @@ def build_mesh(
     for i, s in enumerate(shape):
         if s == -1:
             shape[i] = n // fixed
-    if math.prod(shape) != n:
-        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+    total = math.prod(shape)
+    if total > n:
+        raise ValueError(f"mesh shape {shape} needs {total} devices, have {n}")
+    # an explicit smaller shape selects a device-prefix submesh
+    dev_array = np.asarray(devices[:total]).reshape(shape)
     return Mesh(dev_array, tuple(axes))
 
 

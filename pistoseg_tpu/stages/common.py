@@ -1,0 +1,133 @@
+"""Shared stage plumbing: CLI parsing, mesh/model/state construction,
+stitched validation."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.core.logging import MetricsLogger, console_metric_block
+from pistoseg_tpu.data.labels import parse_patch_name
+from pistoseg_tpu.data.loader import BatchLoader
+from pistoseg_tpu.metrics.miou import MIoUAccumulator, confusion_matrix
+from pistoseg_tpu.ops.augment import imagenet_normalize
+from pistoseg_tpu.ops.stitch import CanvasStitcher
+from pistoseg_tpu.ops.tta import d4_forward
+from pistoseg_tpu.parallel.mesh import build_mesh
+
+
+def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[Config, Dict[str, str]]:
+    """Split ``--key=value`` args into Config overrides and stage extras.
+
+    Keys containing '.' or matching top-level Config fields go to the
+    config tree; everything else (paths like ``--mosaic_data=...``) is
+    returned as a string dict for the stage main.
+    """
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = Config()
+    extras: Dict[str, str] = {}
+    for arg in argv:
+        if not arg.startswith("--") or "=" not in arg:
+            raise ValueError(f"expected --key=value, got {arg}")
+        key, value = arg[2:].split("=", 1)
+        key_norm = key.replace("-", "_")
+        try:
+            cfg.override(key_norm, value)
+        except KeyError:
+            extras[key_norm] = value
+    return cfg, extras
+
+
+def stage_mesh(cfg: Config):
+    return build_mesh(cfg.mesh.axes, cfg.mesh.shape)
+
+
+def native_size_map(eval_root: str | Path) -> Dict[str, Tuple[int, int]]:
+    """slide id → native (H, W), from the big-image directory next to the
+    patch directory (reference reads ``../img/{idx}.png`` sizes,
+    ``mosaic_module.py:160``)."""
+    from PIL import Image
+
+    sizes = {}
+    img_dir = Path(eval_root) / "img"
+    for p in img_dir.glob("*.png"):
+        with Image.open(p) as im:
+            w, h = im.size
+        sizes[p.stem] = (h, w)
+    return sizes
+
+
+def stitched_validation(
+    forward_fn,
+    patch_loader: BatchLoader,
+    num_classes: int,
+    big_root: Optional[str | Path],
+    *,
+    tta: bool = False,
+    bg_ignore_class: Optional[int] = None,
+    patch_size: int = 224,
+) -> Dict[str, float]:
+    """Reference stitched validation (``mosaic_module.py:137-241``):
+
+    * patch-level confusion (gt classes ≥ num_classes masked out),
+    * per-(slide, scale) softmax canvases → scale merge → big-mask mIoU
+      against ``{big_root}/mask/{idx}.png``.
+
+    ``forward_fn(images_f32_normalized) -> logits`` must be jitted by the
+    caller; TTA wraps it in the d4 view batch.
+    """
+    from pistoseg_tpu.ops.palette import decode_palette_png
+
+    patch_acc = MIoUAccumulator(num_classes)
+    stitcher = CanvasStitcher(num_classes)
+    natives = native_size_map(big_root) if big_root else {}
+
+    def run(images):
+        x = imagenet_normalize(jnp.asarray(images))
+        if tta:
+            return d4_forward(forward_fn, x)
+        return forward_fn(x)
+
+    for batch in patch_loader.epoch(0):
+        logits = np.asarray(run(batch["image"]))
+        valid = batch["valid"]
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        pred = probs.argmax(-1)
+        for j in range(len(valid)):
+            if not valid[j]:
+                continue
+            patch_acc.add(pred[j], batch["mask"][j])
+            name = batch["name"][j]
+            try:
+                slide, scale, y, x = parse_patch_name(name)
+            except ValueError:
+                continue
+            if slide not in natives:
+                continue
+            oh, ow = batch["orig_hw"][j]
+            stitcher.add(slide, scale, natives[slide], probs[j][:oh, :ow], y, x)
+
+    out = {
+        "patch_miou": patch_acc.miou(),
+        "patch_fwiou": patch_acc.fwiou(),
+    }
+    for i, v in enumerate(patch_acc.tissue_iou()):
+        out[f"patch_iou_{i}"] = float(v)
+
+    if natives and stitcher.slides():
+        big_acc = MIoUAccumulator(num_classes)
+        for slide in stitcher.slides():
+            pred_big = stitcher.finalize_argmax(slide)
+            gt = decode_palette_png(Path(big_root) / "mask" / f"{slide}.png")
+            big_acc.add(pred_big, gt)
+        out["mask_miou"] = big_acc.miou()
+        out["mask_fwiou"] = big_acc.fwiou()
+        for i, v in enumerate(big_acc.tissue_iou()):
+            out[f"mask_iou_{i}"] = float(v)
+    return out

@@ -1,0 +1,194 @@
+"""Stage 0: OEEM multilabel classifier training.
+
+TPU-native rebuild of ``OEEM/classification/train.py``: wideResNet
+(ResNet38d trunk, b7 dilation 2, 5632-ch concat head) trained with
+BCE-with-logits on filename multilabels; RandomResizedCrop(0.7–1)+flips
+augmentation (on device); PolySGD(0.01, wd 1e-4); every ``test_every``
+epochs a validation CAM pass computes mIoU over a labeled val split and
+the best checkpoint is kept (``train.py:111-161``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pistoseg_tpu.core.checkpoint import CheckpointManager
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.core.logging import MetricsLogger, console_metric_block
+from pistoseg_tpu.core.prng import fold_in_str, root_key
+from pistoseg_tpu.data.loader import BatchLoader
+from pistoseg_tpu.data.oeem import CropListDataset, OriginPatchesDataset
+from pistoseg_tpu.metrics.miou import MIoUAccumulator
+from pistoseg_tpu.models.wide_resnet import WideResNetClassifier
+from pistoseg_tpu.ops.augment import AugmentConfig, augment_batch
+from pistoseg_tpu.ops.cam import (
+    accumulate_scale_cam,
+    cam_argmax_with_label_mask,
+    ensemble_scales,
+    normalize_cam,
+)
+from pistoseg_tpu.ops.palette import decode_palette_png
+from pistoseg_tpu.ops.resize import resize
+from pistoseg_tpu.stages.common import parse_cli, stage_mesh
+from pistoseg_tpu.train.loop import Trainer, make_train_step
+from pistoseg_tpu.train.optim import poly_sgd
+from pistoseg_tpu.train.state import create_train_state
+
+
+def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    logits = logits.astype(jnp.float32)
+    loss = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(loss)
+
+
+def build_loss_fn(model, aug_cfg: AugmentConfig):
+    def loss_fn(params, batch_stats, batch, rng):
+        images, _ = augment_batch(rng, batch["image"], None, aug_cfg)
+        out, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        valid = jnp.asarray(batch["valid"]).astype(jnp.float32)[:, None]
+        logits = out["logits"] * valid  # padded samples contribute target 0 vs logit 0
+        target = jnp.asarray(batch["label"]) * valid
+        loss = bce_with_logits(logits, target)
+        return loss, ({}, upd["batch_stats"])
+
+    return loss_fn
+
+
+def generate_cams_for_split(
+    model, variables, crop_ds: CropListDataset, num_classes: int,
+    batch_cap: int = 32, use_label_mask: bool = True,
+):
+    """Yield (stem, native_hw, ensembled CAM (H, W, C), label) per image.
+
+    Canvas math follows ``generate_CAM.py:13-102``: per scale → crop
+    forward → bilinear to crop size → overlap-add → normalize → resize to
+    native → sum over scales.
+    """
+    forward = jax.jit(lambda x: model.apply(variables, x, train=False)["cam"])
+    for i in range(len(crop_ds)):
+        item = crop_ds[i]
+        scale_canvases = []
+        for sc in item["scales"]:
+            crops = sc["crops"]
+            cams = []
+            for k in range(0, len(crops), batch_cap):
+                chunk = jnp.asarray(crops[k : k + batch_cap])
+                from pistoseg_tpu.ops.augment import imagenet_normalize
+
+                cam = forward(imagenet_normalize(chunk))
+                cam = resize(cam, (crops.shape[1], crops.shape[2]), method="linear")
+                cams.append(np.asarray(cam, np.float32))
+            cams = np.concatenate(cams, 0)
+            canvas = accumulate_scale_cam(
+                jnp.asarray(cams), jnp.asarray(sc["ys"]), jnp.asarray(sc["xs"]),
+                jnp.ones(len(cams), bool), sc["canvas_hw"],
+            )
+            scale_canvases.append(normalize_cam(canvas))
+        ens = ensemble_scales(scale_canvases, item["native_hw"])
+        yield item["stem"], item["native_hw"], ens, item["label"]
+
+
+def validate_cams(model, variables, val_images: str, val_masks: str,
+                  profile, cam_cfg) -> float:
+    """Reference val loop: CAM argmax vs gt mask mIoU (``metric.py:26-86``)."""
+    crop_ds = CropListDataset(
+        val_images, profile, cam_cfg.crop_size, cam_cfg.crop_size, (1.0,)
+    )
+    acc = MIoUAccumulator(profile.num_classes)
+    for stem, _hw, cam, label in generate_cams_for_split(
+        model, variables, crop_ds, profile.num_classes
+    ):
+        pred = cam_argmax_with_label_mask(cam, label)
+        gt = decode_palette_png(Path(val_masks) / f"{stem}.png")
+        acc.add(pred, gt)
+    return acc.miou()
+
+
+def train_stage0(
+    cfg: Config,
+    train_data: str,
+    val_images: Optional[str] = None,
+    val_masks: Optional[str] = None,
+    log_dir: str = "logs/stage0",
+    max_steps_per_epoch: Optional[int] = None,
+) -> Dict:
+    profile = cfg.profile
+    cc = cfg.cam
+    mesh = stage_mesh(cfg)
+
+    model = WideResNetClassifier(num_classes=profile.num_classes)
+    ds = OriginPatchesDataset(train_data, profile)
+    loader = BatchLoader(ds, cc.batch_size, shuffle=True, seed=cfg.seed)
+    steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
+    max_step = steps_per_epoch * cc.epochs
+
+    tx = poly_sgd(cc.lr, max_step, cc.poly_power, cc.momentum, cc.weight_decay)
+    rng = fold_in_str(root_key(cfg.seed), "stage0")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(
+            model, rng, jnp.zeros((1, cc.crop_size, cc.crop_size, 3)), tx
+        )
+    state = jax.device_put(state)
+
+    aug_cfg = AugmentConfig(out_size=cc.crop_size, rrc_scale=cc.rrc_scale,
+                            ssr_p=0.0, distort_p=0.0)
+    train_step = make_train_step(build_loss_fn(model, aug_cfg), mesh)
+
+    ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
+    logger = MetricsLogger(log_dir, "stage0")
+
+    def train_iter(epoch):
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            yield {k: batch[k] for k in ("image", "label", "valid")}
+
+    def validate(state, epoch):
+        if val_images is None or (epoch + 1) % cc.test_every != 0:
+            return -1.0 if val_images else 0.0
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        miou = validate_cams(model, variables, val_images, val_masks, profile, cc)
+        console_metric_block(f"Stage-0 val CAM (epoch {epoch})", {"cam_miou": miou})
+        return miou
+
+    def checkpoint(state, epoch, metric, is_best):
+        tree = {"params": state.params, "batch_stats": state.batch_stats}
+        ckpt.save_best_last(tree, epoch, metric, is_best,
+                            extra={"stage": "stage0", "config": cfg.to_dict()})
+
+    trainer = Trainer(
+        train_step, cc.epochs, train_iter, mesh=mesh,
+        validate_fn=validate if val_images else None,
+        checkpoint_fn=checkpoint, log_fn=lambda m: logger.log(m),
+        rng=fold_in_str(root_key(cfg.seed), "stage0/train"),
+    )
+    trainer.fit(state)
+    return {"best_metric": trainer.best_metric, "checkpoint_dir": str(ckpt.root)}
+
+
+def main(argv=None):
+    cfg, extras = parse_cli(argv)
+    return train_stage0(
+        cfg,
+        train_data=extras["train_data"],
+        val_images=extras.get("val_images"),
+        val_masks=extras.get("val_masks"),
+        log_dir=extras.get("log_dir", "logs/stage0"),
+        max_steps_per_epoch=(
+            int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Stage 0b: export 32×32 training CAMs for stage 4.
+
+TPU-native rebuild of ``OEEM/classification/prepare_seg_inputs.py``: for
+every training patch, multiscale sliding-window CAM ensemble at the
+dataset's scales/stride (``configuration_*.yml``), per-scale canvas
+normalize → native-size resize → sum over scales → /len(scales) →
+bilinear downsample to 32×32 → save ``[C, 32, 32]`` ``.npy``
+(``prepare_seg_inputs.py:93-138``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from pistoseg_tpu.core.checkpoint import CheckpointManager
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.data.oeem import CropListDataset
+from pistoseg_tpu.models.wide_resnet import WideResNetClassifier
+from pistoseg_tpu.ops.cam import cam_to_artifact
+from pistoseg_tpu.stages.common import parse_cli
+from pistoseg_tpu.stages.stage0_cam import generate_cams_for_split
+
+
+def export_cams(
+    cfg: Config,
+    train_data: str,
+    ckpt_dir: str,
+    out_dir: str,
+    limit: Optional[int] = None,
+) -> Dict:
+    profile = cfg.profile
+    model = WideResNetClassifier(num_classes=profile.num_classes)
+    ckpt = CheckpointManager(ckpt_dir)
+    name = "best" if ckpt.exists("best") else "last"
+    tree = ckpt.restore(name)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    crop_ds = CropListDataset(
+        train_data, profile, cfg.cam.crop_size, profile.cam_stride, profile.cam_scales
+    )
+    if limit is not None:
+        crop_ds.paths = crop_ds.paths[:limit]
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for stem, _hw, cam, _label in generate_cams_for_split(
+        model, variables, crop_ds, profile.num_classes
+    ):
+        cam = cam / len(profile.cam_scales)  # prepare_seg_inputs.py:134
+        np.save(out / f"{stem}.npy", cam_to_artifact(cam, 32))
+        n += 1
+    return {"cams": n, "out_dir": str(out), "checkpoint": name}
+
+
+def main(argv=None):
+    cfg, extras = parse_cli(argv)
+    return export_cams(
+        cfg,
+        train_data=extras["train_data"],
+        ckpt_dir=extras["ckpt_dir"],
+        out_dir=extras.get("out_dir", "data/CAM/train"),
+        limit=int(extras["limit"]) if "limit" in extras else None,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Stage 3: pseudo-mask inference over the real training patches.
+
+TPU-native rebuild of ``infer_pseudo_masks.py``: load the stage-2 best
+checkpoint, run d4-TTA forwards over every training patch, and emit the
+three artifacts per patch:
+
+* ``logits_32x32/{stem}.npy`` — bilinear-downsampled logits ``[C, 32, 32]``
+  (reference saved torch ``.pt``, ``infer_pseudo_masks.py:126-127``);
+* ``mask/{name}.png`` — label-masked argmax palette PNG at native size
+  (impossible classes' logits forced to −1e10, background (tissue==0)
+  forced to the bg class, ``get_mask_pred_and_entropy``
+  ``infer_pseudo_masks.py:69-87``);
+* ``entropy/{stem}.npy`` — softmax entropy map (inspection artifact).
+
+TPU-first: the whole per-patch post-processing (d4 mean → label mask →
+softmax → entropy → argmax → 32² logits) is one fused jitted function
+over the batch; only PNG/npy writes stay on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pistoseg_tpu.core.checkpoint import CheckpointManager
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.data.datasets import PatchInferenceDataset
+from pistoseg_tpu.data.loader import BatchLoader
+from pistoseg_tpu.models.factory import create_segmentation_model
+from pistoseg_tpu.ops.augment import imagenet_normalize
+from pistoseg_tpu.ops.palette import encode_palette_png
+from pistoseg_tpu.ops.resize import resize, resize_palette_pil
+from pistoseg_tpu.ops.tta import d4_forward
+from pistoseg_tpu.stages.common import parse_cli
+
+
+@partial(jax.jit, static_argnames=("logits_size", "bg_class"))
+def emit_outputs(
+    logits: jnp.ndarray,     # (N, P, P, C) TTA-averaged logits
+    labels: jnp.ndarray,     # (N, C) image-level multilabel
+    tissue: jnp.ndarray,     # (N, P, P) uint8: 0 = background, 127 = tissue
+    logits_size: int = 32,
+    bg_class: int = 3,
+):
+    """Fused post-processing (reference ``get_mask_pred_and_entropy``)."""
+    small = resize(logits, (logits_size, logits_size), method="linear")
+    # label masking: logits of classes absent from the image label → −1e10
+    masked = jnp.where(labels[:, None, None, :] > 0, logits, -1e10)
+    probs = jax.nn.softmax(masked, axis=-1)
+    entropy = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), axis=-1)
+    pred = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    pred = jnp.where(tissue == 0, jnp.uint8(bg_class), pred)
+    return small, pred, entropy
+
+
+def infer_stage3(
+    cfg: Config,
+    train_data: str,
+    ckpt_dir: str,
+    out_dir: str,
+    limit: Optional[int] = None,
+) -> Dict:
+    profile = cfg.profile
+    num_classes = profile.num_classes
+    sc = cfg.mosaic
+
+    model = create_segmentation_model(sc.model, sc.encoder, num_classes, sc.decoder_attention)
+    ckpt = CheckpointManager(ckpt_dir)
+    name = "best" if ckpt.exists("best") else "last"
+    tree = ckpt.restore(name)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    forward = jax.jit(lambda x: model.apply(variables, x, train=False))
+
+    ds = PatchInferenceDataset(train_data, profile, sc.patch_size)
+    if limit is not None:
+        ds.paths = ds.paths[:limit]
+    loader = BatchLoader(ds, cfg.infer.batch_size)
+
+    out = Path(out_dir)
+    (out / "logits_32x32").mkdir(parents=True, exist_ok=True)
+    (out / "mask").mkdir(parents=True, exist_ok=True)
+    (out / "entropy").mkdir(parents=True, exist_ok=True)
+
+    n_done = 0
+    for batch in loader.epoch(0):
+        x = imagenet_normalize(jnp.asarray(batch["image"]))
+        logits = d4_forward(forward, x) if cfg.infer.tta else forward(x)
+        small, pred, entropy = emit_outputs(
+            logits,
+            jnp.asarray(batch["label"]),
+            jnp.asarray(batch["tissue"]),
+            logits_size=cfg.infer.logits_size,
+            bg_class=profile.bg_class,
+        )
+        small = np.asarray(small)
+        pred = np.asarray(pred)
+        entropy = np.asarray(entropy)
+        for j, ok in enumerate(batch["valid"]):
+            if not ok:
+                continue
+            stem = Path(batch["name"][j]).stem
+            # [C, 32, 32] contract (Appendix B)
+            np.save(out / "logits_32x32" / f"{stem}.npy",
+                    np.ascontiguousarray(small[j].transpose(2, 0, 1)))
+            np.save(out / "entropy" / f"{stem}.npy", entropy[j])
+            oh, ow = batch["orig_hw"][j]
+            mask_native = resize_palette_pil(pred[j], (int(oh), int(ow)))
+            encode_palette_png(mask_native, profile.palette, out / "mask" / batch["name"][j])
+            n_done += 1
+    return {"patches": n_done, "checkpoint": name, "out_dir": str(out)}
+
+
+def main(argv=None):
+    cfg, extras = parse_cli(argv)
+    return infer_stage3(
+        cfg,
+        train_data=extras["train_data"],
+        ckpt_dir=extras["ckpt_dir"],
+        out_dir=extras.get("out_dir", str(Path(extras["ckpt_dir"]) / "pseudo")),
+        limit=int(extras["limit"]) if "limit" in extras else None,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Stage 4b: emit refined masks with the trained RFM.
+
+TPU-native rebuild of ``infer_revise_masks.py``: images at 256²
+(inference size differs from the 224² training size by design,
+``infer_revise_masks.py:46`` vs ``revise_pseudo_labels.py:53``); forward
+the RFM; **foreground-only** argmax of the label-masked refined maps
+(``(x_rv·label)[:, 1:]`` then argmax, ``:137-143``); nearest-resize the
+palette mask to native size (PIL P-mode resize semantics); for WSSS4LUAD
+re-impose the recomputed background as the bg class (``:151-155``);
+write ``refine/{pmask,pcam,cam}/{name}.png``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pistoseg_tpu.core.checkpoint import CheckpointManager
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.data.datasets import RefineDataset
+from pistoseg_tpu.data.loader import BatchLoader
+from pistoseg_tpu.models.rfm import ReviseNet
+from pistoseg_tpu.ops.augment import imagenet_normalize
+from pistoseg_tpu.ops.background import extract_background
+from pistoseg_tpu.ops.palette import encode_palette_png
+from pistoseg_tpu.ops.resize import resize_palette_pil
+from pistoseg_tpu.stages.common import parse_cli
+from pistoseg_tpu.stages.stage4_revise import prepare_batch
+
+
+def infer_stage4b(
+    cfg: Config,
+    train_data: str,
+    pmask_dir: str,
+    cam_dir: str,
+    ckpt_dir: str,
+    out_dir: Optional[str] = None,
+    limit: Optional[int] = None,
+) -> Dict:
+    profile = cfg.profile
+    rc = cfg.revise
+    n_ch = profile.num_classes + 1
+
+    model = ReviseNet(num_classes=n_ch)
+    ckpt = CheckpointManager(ckpt_dir)
+    tree = ckpt.restore("rfm")
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    @jax.jit
+    def forward(x, pmask, pcam, label):
+        _, cam_rv, pmask_rv, pcam_rv = model.apply(variables, x, pmask, pcam, train=False)
+        lbl = label[:, None, None, :]
+        preds = []
+        for m in (pmask_rv, pcam_rv, cam_rv):
+            fg = (m * lbl)[..., 1:]                      # drop bg channel
+            preds.append(jnp.argmax(fg, axis=-1).astype(jnp.uint8))
+        return preds  # [pmask, pcam, cam] fg-class argmaxes
+
+    ds = RefineDataset(train_data, pmask_dir, cam_dir, profile, rc.infer_size)
+    if limit is not None:
+        ds.paths = ds.paths[:limit]
+    loader = BatchLoader(ds, cfg.infer.batch_size)
+
+    out = Path(out_dir) if out_dir else Path(ckpt_dir) / "refine"
+    for sub in ("pmask", "pcam", "cam"):
+        (out / sub).mkdir(parents=True, exist_ok=True)
+
+    from pistoseg_tpu.data.datasets import load_image
+
+    n_done = 0
+    for batch in loader.epoch(0):
+        pmask, pcam, label = prepare_batch(batch)
+        x = imagenet_normalize(jnp.asarray(batch["image"]))
+        preds = [np.asarray(p) for p in forward(x, pmask, pcam, label)]
+        for j, ok in enumerate(batch["valid"]):
+            if not ok:
+                continue
+            name = batch["name"][j]
+            original = load_image(Path(train_data) / name)
+            h, w = original.shape[:2]
+            bg = extract_background(original) if profile.has_background_channel else None
+            for sub, pred in zip(("pmask", "pcam", "cam"), preds):
+                mask = resize_palette_pil(pred[j], (h, w))
+                if bg is not None:
+                    mask[bg > 0] = profile.bg_class
+                encode_palette_png(mask, profile.palette, out / sub / name)
+            n_done += 1
+    return {"patches": n_done, "out_dir": str(out)}
+
+
+def main(argv=None):
+    cfg, extras = parse_cli(argv)
+    return infer_stage4b(
+        cfg,
+        train_data=extras["train_data"],
+        pmask_dir=extras["pmask_dir"],
+        cam_dir=extras["cam_dir"],
+        ckpt_dir=extras["ckpt_dir"],
+        out_dir=extras.get("out_dir"),
+        limit=int(extras["limit"]) if "limit" in extras else None,
+    )
+
+
+if __name__ == "__main__":
+    main()

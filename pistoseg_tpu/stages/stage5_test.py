@@ -1,0 +1,134 @@
+"""Stage-5 test: final evaluation + mask emission.
+
+TPU-native rebuild of ``segmentation_test.py``: load the stage-5 best
+checkpoint (its stored config merged under CLI overrides,
+``segmentation_test.py:95-99``); forward all test patches (optional d4
+TTA); patch-level mIoU; for WSSS4LUAD the multi-scale overlap stitch to
+big masks with the known-background override (``mask_pred[gt == 3] = 3``,
+``:206-208``) and palette PNG emission; for BCSS per-patch argmax +
+direct save + patch-level metrics (``:228-250``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pistoseg_tpu.core.checkpoint import CheckpointManager
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.core.logging import MetricsLogger, console_metric_block
+from pistoseg_tpu.data.datasets import EvalPatchDataset
+from pistoseg_tpu.data.labels import parse_patch_name
+from pistoseg_tpu.data.loader import BatchLoader
+from pistoseg_tpu.metrics.miou import MIoUAccumulator
+from pistoseg_tpu.models.factory import create_segmentation_model
+from pistoseg_tpu.ops.augment import imagenet_normalize
+from pistoseg_tpu.ops.palette import decode_palette_png, encode_palette_png
+from pistoseg_tpu.ops.stitch import CanvasStitcher
+from pistoseg_tpu.ops.tta import d4_forward
+from pistoseg_tpu.stages.common import native_size_map, parse_cli
+
+
+def test_stage5(
+    cfg: Config,
+    test_data: str,
+    ckpt_dir: str,
+    save_dir: Optional[str] = None,
+    big_root: Optional[str] = None,
+) -> Dict:
+    profile = cfg.profile
+    sc = cfg.seg
+    num_classes = profile.num_classes
+
+    ckpt = CheckpointManager(Path(ckpt_dir))
+    name = "best" if ckpt.exists("best") else "last"
+    meta = ckpt.metadata(name)
+    stored = meta.get("config", {})
+    # checkpoint's stored model hyperparameters win over stage defaults
+    # (reference merges ckpt hparams then CLI, segmentation_test.py:95-99)
+    model_name = stored.get("seg", {}).get("model", sc.model)
+    encoder = stored.get("seg", {}).get("encoder", sc.encoder)
+
+    model = create_segmentation_model(model_name, encoder, num_classes, sc.decoder_attention)
+    tree = ckpt.restore(name)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    forward = jax.jit(lambda x: model.apply(variables, x, train=False))
+
+    big_root = big_root or str(Path(test_data).parent)
+    natives = native_size_map(big_root)
+
+    loader = BatchLoader(EvalPatchDataset(test_data, sc.patch_size), cfg.infer.batch_size)
+    patch_acc = MIoUAccumulator(num_classes)
+    stitcher = CanvasStitcher(num_classes)
+    bcss_outputs = []
+
+    for batch in loader.epoch(0):
+        x = imagenet_normalize(jnp.asarray(batch["image"]))
+        logits = d4_forward(forward, x) if sc.tta else forward(x)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        pred = probs.argmax(-1).astype(np.uint8)
+        for j, ok in enumerate(batch["valid"]):
+            if not ok:
+                continue
+            oh, ow = (int(v) for v in batch["orig_hw"][j])
+            gt = batch["mask"][j][:oh, :ow]
+            patch_acc.add(pred[j][:oh, :ow], gt)
+            if profile.name == "wsss4luad":
+                try:
+                    slide, scale, y, xpos = parse_patch_name(batch["name"][j])
+                except ValueError:
+                    continue
+                if slide in natives:
+                    stitcher.add(slide, scale, natives[slide], probs[j][:oh, :ow], y, xpos)
+            else:
+                bcss_outputs.append((batch["name"][j], pred[j][:oh, :ow]))
+
+    out_metrics: Dict[str, float] = {
+        "patch_miou": patch_acc.miou(),
+        "patch_fwiou": patch_acc.fwiou(),
+    }
+    for i, v in enumerate(patch_acc.tissue_iou()):
+        out_metrics[f"patch_iou_{profile.class_names[i]}"] = float(v)
+
+    save = Path(save_dir) if save_dir else Path(ckpt_dir).parent / "test"
+    (save / "mask").mkdir(parents=True, exist_ok=True)
+
+    if profile.name == "wsss4luad" and stitcher.slides():
+        big_acc = MIoUAccumulator(num_classes)
+        for slide in stitcher.slides():
+            merged = stitcher.finalize(slide)
+            gt = decode_palette_png(Path(big_root) / "mask" / f"{slide}.png")
+            big_acc.add(merged.argmax(-1), gt)
+            pred_big = merged.argmax(-1).astype(np.uint8)
+            pred_big[gt == profile.bg_class] = profile.bg_class  # known background
+            encode_palette_png(pred_big, profile.palette, save / "mask" / f"{slide}.png")
+        out_metrics["mask_miou"] = big_acc.miou()
+        out_metrics["mask_fwiou"] = big_acc.fwiou()
+        for i, v in enumerate(big_acc.tissue_iou()):
+            out_metrics[f"mask_iou_{profile.class_names[i]}"] = float(v)
+    else:
+        for name_, mask_pred in bcss_outputs:
+            encode_palette_png(mask_pred, profile.palette, save / "mask" / name_)
+
+    console_metric_block("Stage-5 test", out_metrics)
+    MetricsLogger(save, "stage5_test").log(out_metrics)
+    return out_metrics
+
+
+def main(argv=None):
+    cfg, extras = parse_cli(argv)
+    return test_stage5(
+        cfg,
+        test_data=extras["test_data"],
+        ckpt_dir=extras["ckpt_dir"],
+        save_dir=extras.get("save_dir"),
+        big_root=extras.get("big_root"),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Stage 5: precise segmentation training on refined pseudo-masks.
+
+TPU-native rebuild of ``segmentation_train.py`` +
+``models/segmentation_module.py``: same scaffold as stage 2 but
+UNet++/EfficientNet-b3, CrossEntropy(ignore_index=bg for WSSS4LUAD) on
+real training images with ``refine/cam`` masks (``run.sh:31``), optional
+CutMix (``segmentation_train.py:42-43``), identical stitched validation
+and best/last checkpointing.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from pistoseg_tpu.core.checkpoint import CheckpointManager
+from pistoseg_tpu.core.config import Config
+from pistoseg_tpu.core.logging import MetricsLogger, console_metric_block
+from pistoseg_tpu.core.prng import fold_in_str, root_key
+from pistoseg_tpu.data.datasets import EvalPatchDataset, PseudoTrainDataset
+from pistoseg_tpu.data.loader import BatchLoader
+from pistoseg_tpu.models.factory import create_segmentation_model
+from pistoseg_tpu.ops.augment import AugmentConfig
+from pistoseg_tpu.stages.common import parse_cli, stage_mesh, stitched_validation
+from pistoseg_tpu.stages.stage2_mosaic import build_loss_fn
+from pistoseg_tpu.train.loop import Trainer, make_eval_step, make_train_step
+from pistoseg_tpu.train.optim import adamw_exponential
+from pistoseg_tpu.train.state import create_train_state
+
+
+def train_stage5(
+    cfg: Config,
+    train_data: str,
+    mask_dir: str,
+    val_data: Optional[str] = None,
+    val_big_root: Optional[str] = None,
+    log_dir: str = "logs/stage5",
+    max_steps_per_epoch: Optional[int] = None,
+) -> Dict:
+    profile = cfg.profile
+    sc = cfg.seg
+    mesh = stage_mesh(cfg)
+    num_classes = profile.num_classes
+
+    model = create_segmentation_model(sc.model, sc.encoder, num_classes, sc.decoder_attention)
+    train_ds = PseudoTrainDataset(
+        train_data, mask_dir, profile, sc.patch_size,
+        cutmix_prob=sc.cutmix_prob if sc.cutmix else 0.0, seed=cfg.seed,
+    )
+    loader = BatchLoader(train_ds, sc.batch_size, shuffle=True, seed=cfg.seed)
+    steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
+
+    tx = adamw_exponential(sc.lr, sc.weight_decay, sc.lr_decay, steps_per_epoch)
+    rng = fold_in_str(root_key(cfg.seed), "stage5")
+    sample = jnp.zeros((sc.batch_size, sc.patch_size, sc.patch_size, 3),
+                       jnp.bfloat16 if sc.precision == "bf16" else jnp.float32)
+    state = create_train_state(model, rng, sample, tx)
+
+    aug_cfg = AugmentConfig(out_size=sc.patch_size, rrc_scale=(0.9, 1.0))
+    train_step = make_train_step(build_loss_fn(model, profile, sc, aug_cfg), mesh)
+
+    ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
+    logger = MetricsLogger(log_dir, "stage5")
+    eval_step = make_eval_step(lambda v, x: model.apply(v, x, train=False), mesh=None)
+
+    def forward(state):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return lambda x: eval_step(variables, x)
+
+    def validate(state, epoch):
+        if val_data is None:
+            return 0.0
+        val_loader = BatchLoader(EvalPatchDataset(val_data, sc.patch_size), cfg.infer.batch_size)
+        metrics = stitched_validation(
+            forward(state), val_loader, num_classes, val_big_root,
+            patch_size=sc.patch_size,
+        )
+        console_metric_block(f"Stage-5 validation (epoch {epoch})", metrics)
+        logger.log(dict(metrics, epoch=epoch))
+        return metrics.get("mask_miou", metrics["patch_miou"])
+
+    def checkpoint(state, epoch, metric, is_best):
+        tree = {"params": state.params, "batch_stats": state.batch_stats}
+        ckpt.save_best_last(tree, epoch, metric, is_best,
+                            extra={"stage": "stage5", "config": cfg.to_dict()})
+
+    def train_iter(epoch):
+        for i, batch in enumerate(loader.epoch(epoch)):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            yield {k: batch[k] for k in ("image", "mask", "valid")}
+
+    trainer = Trainer(
+        train_step, sc.epochs, train_iter, mesh=mesh,
+        validate_fn=validate if val_data else None,
+        checkpoint_fn=checkpoint, log_fn=lambda m: logger.log(m),
+        rng=fold_in_str(root_key(cfg.seed), "stage5/train"),
+    )
+    trainer.fit(state)
+    return {"best_metric": trainer.best_metric, "best_epoch": trainer.best_epoch,
+            "checkpoint_dir": str(ckpt.root)}
+
+
+def main(argv=None):
+    cfg, extras = parse_cli(argv)
+    return train_stage5(
+        cfg,
+        train_data=extras["train_data"],
+        mask_dir=extras["mask_dir"],
+        val_data=extras.get("val_data"),
+        val_big_root=extras.get("val_big_root"),
+        log_dir=extras.get("log_dir", "logs/stage5"),
+        max_steps_per_epoch=(
+            int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Generic pjit data-parallel train/eval steps and a stage trainer.
+
+The reference trains via pytorch-lightning on ONE GPU (stages 2/5,
+``mosaic_train.py:175-190``) or hand-rolled DataParallel loops (stages
+0/4).  TPU-native replacement: a single jitted train step, parameters
+replicated over the mesh, batch sharded on axis 'data'
+(``NamedSharding(mesh, P('data'))``); XLA inserts the gradient all-reduce
+from the sharding annotations.  State is donated, so parameters are
+updated in place in HBM.
+
+Activations run in bf16 when requested (params stay fp32); the loss is
+always computed in fp32 by the loss modules.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pistoseg_tpu.parallel.mesh import batch_sharding, replicated, shard_batch
+from pistoseg_tpu.train.state import TrainState
+
+# loss_fn(params, batch_stats, batch, rng) -> (loss, (metrics, new_batch_stats))
+LossFn = Callable[[Any, Any, Any, jax.Array], Tuple[jax.Array, Tuple[Dict, Any]]]
+
+
+def make_train_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
+    """Build the jitted, donated, data-parallel train step."""
+
+    def step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = dict(metrics, loss=loss)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(
+    apply_fn: Callable, mesh: Optional[Mesh] = None, **apply_kwargs
+):
+    """Jitted forward pass: (variables, batch) → model outputs."""
+
+    def step(variables, batch):
+        return apply_fn(variables, batch, **apply_kwargs)
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+    )
+
+
+class Trainer:
+    """Minimal epoch loop with best-metric checkpointing.
+
+    Mirrors the reference's Lightning scaffold (``ModelCheckpoint`` on
+    ``validation_miou_mask_epoch`` max + save_last,
+    ``mosaic_train.py:119-133``) without the framework: the caller
+    provides the data iterator factory, a validation callable returning a
+    scalar metric, and a checkpoint writer.
+    """
+
+    def __init__(
+        self,
+        train_step,
+        epochs: int,
+        train_iter_fn: Callable[[int], Iterable],
+        mesh: Optional[Mesh] = None,
+        validate_fn: Optional[Callable[[TrainState, int], float]] = None,
+        checkpoint_fn: Optional[Callable[[TrainState, int, float, bool], None]] = None,
+        log_fn: Optional[Callable[[Dict], None]] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.train_step = train_step
+        self.epochs = epochs
+        self.train_iter_fn = train_iter_fn
+        self.mesh = mesh
+        self.validate_fn = validate_fn
+        self.checkpoint_fn = checkpoint_fn
+        self.log_fn = log_fn or (lambda m: None)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.best_metric = -float("inf")
+        self.best_epoch = -1
+
+    def fit(self, state: TrainState) -> TrainState:
+        for epoch in range(self.epochs):
+            t0 = time.time()
+            n_steps = 0
+            loss_sum = 0.0
+            for batch in self.train_iter_fn(epoch):
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                state, metrics = self.train_step(state, batch, step_rng)
+                loss_sum += float(metrics["loss"])
+                n_steps += 1
+            dt = time.time() - t0
+            log = {
+                "epoch": epoch,
+                "train_loss": loss_sum / max(n_steps, 1),
+                "steps": n_steps,
+                "epoch_seconds": dt,
+            }
+            if self.validate_fn is not None:
+                metric = float(self.validate_fn(state, epoch))
+                log["val_metric"] = metric
+                is_best = metric > self.best_metric
+                if is_best:
+                    self.best_metric = metric
+                    self.best_epoch = epoch
+                if self.checkpoint_fn is not None:
+                    self.checkpoint_fn(state, epoch, metric, is_best)
+            elif self.checkpoint_fn is not None:
+                self.checkpoint_fn(state, epoch, float("nan"), True)
+            self.log_fn(log)
+        return state

@@ -1,0 +1,200 @@
+"""Tests for datasets, loader, augmentation, mosaic synthesis, splitting."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pistoseg_tpu.core.config import Config, DATASET_PROFILES
+from pistoseg_tpu.data.datasets import (
+    EvalPatchDataset,
+    MosaicDataset,
+    PatchInferenceDataset,
+    PseudoTrainDataset,
+    CutMixDataset,
+    RefineDataset,
+    pad_to_size_reflect,
+)
+from pistoseg_tpu.data.loader import BatchLoader, collate
+from pistoseg_tpu.data.mosaic import MosaicSynthesizer, write_background_masks
+from pistoseg_tpu.data.oeem import CropListDataset, OriginPatchesDataset
+from pistoseg_tpu.ops.augment import AugmentConfig, augment_batch, imagenet_normalize
+
+from util_synthetic import (
+    make_big_eval_set,
+    make_stage4_artifacts,
+    make_training_patches,
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    train = root / "train"
+    make_training_patches(train, "wsss4luad", n_per_class=3, size=64)
+    big = make_big_eval_set(root / "valid", "wsss4luad", n_images=2, size=96)
+    return {"root": root, "train": train, "big": big}
+
+
+def test_patch_inference_dataset(synth):
+    profile = DATASET_PROFILES["wsss4luad"]
+    ds = PatchInferenceDataset(synth["train"], profile, patch_size=32)
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["tissue"].shape == (32, 32)
+    assert item["label"].shape == (3,)
+    assert tuple(item["orig_hw"]) == (64, 64)
+
+
+def test_loader_shuffle_determinism_and_padding(synth):
+    profile = DATASET_PROFILES["wsss4luad"]
+    ds = PatchInferenceDataset(synth["train"], profile, patch_size=32)
+    ld = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+    names1 = [b["name"] for b in ld.epoch(0)]
+    names2 = [b["name"] for b in ld.epoch(0)]
+    assert names1 == names2                      # same epoch → same order
+    names3 = [b["name"] for b in ld.epoch(1)]
+    assert names1 != names3                      # different epoch → reshuffled
+    # 9 items / batch 4 → last batch padded to 4 with valid mask
+    batches = list(ld.epoch(0))
+    assert batches[-1]["image"].shape[0] == 4
+    assert batches[-1]["valid"].sum() == 1
+
+
+def test_augment_batch_deterministic_and_shaped():
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (4, 64, 64, 3)), jnp.float32)
+    masks = jnp.asarray(rng.randint(0, 4, (4, 64, 64)))
+    cfg = AugmentConfig(out_size=32)
+    key = jax.random.PRNGKey(3)
+    out1, m1 = augment_batch(key, images, masks, cfg)
+    out2, m2 = augment_batch(key, images, masks, cfg)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert out1.shape == (4, 32, 32, 3)
+    assert m1.shape == (4, 32, 32)
+    # masks keep valid class values only
+    assert set(np.unique(np.asarray(m1))) <= {0, 1, 2, 3}
+    # different key → different augmentation
+    out3, _ = augment_batch(jax.random.PRNGKey(4), images, masks, cfg)
+    assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-3
+
+
+def test_imagenet_normalize_matches_reference_formula():
+    x = np.full((1, 2, 2, 3), 128, np.float32)
+    got = np.asarray(imagenet_normalize(jnp.asarray(x)))
+    ref = (128 / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(got[0, 0, 0], ref, rtol=1e-5)
+
+
+def test_pad_to_size_reflect():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    padded, h, w = pad_to_size_reflect(img, 6)
+    assert padded.shape == (6, 6)
+    assert (h, w) == (3, 4)
+    np.testing.assert_array_equal(padded[:3, :4], img)
+    # reflect: row 3 mirrors row 1 (reflect without repeating the edge)
+    np.testing.assert_array_equal(padded[3, :4], img[1])
+
+
+def test_mosaic_synthesizer_deterministic(synth, tmp_path):
+    profile = DATASET_PROFILES["wsss4luad"]
+    bg_dir = tmp_path / "bg"
+    write_background_masks(synth["train"], bg_dir)
+    synthm = MosaicSynthesizer(
+        synth["train"], profile, background_dir=bg_dir,
+        patch_num=2, tile_size=16,
+    )
+    img1, mask1 = synthm.synthesize_one(5)
+    img2, mask2 = synthm.synthesize_one(5)
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(mask1, mask2)
+    assert img1.shape == (32, 32, 3)
+    assert set(np.unique(mask1)) <= {0, 1, 2, 3}
+    img3, _ = synthm.synthesize_one(6)
+    assert not np.array_equal(img1, img3)
+
+
+def test_mosaic_write_dataset(synth, tmp_path):
+    profile = DATASET_PROFILES["wsss4luad"]
+    synthm = MosaicSynthesizer(synth["train"], profile, patch_num=2, tile_size=16)
+    out = tmp_path / "mosaic"
+    synthm.write_dataset(out, 4, num_workers=2)
+    ds = MosaicDataset(out)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["mask"].shape == (32, 32)
+
+
+def test_stage1_split_and_eval_dataset(synth, tmp_path):
+    from pistoseg_tpu.stages.stage1_split import split_images
+
+    cfg = Config()
+    out = tmp_path / "patches"
+    r = split_images(cfg, synth["big"], out, patch_size=64, stride=32, scales=(1.0,))
+    assert r["patches"] > 0
+    ds = EvalPatchDataset(out, patch_size=64)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert "slide" in item and "pos" in item
+    # patch grid covers each 96² image: positions 0 and 32 per axis
+    names = [p.name for p in ds.images]
+    assert any("_0_32-" in n for n in names)
+
+
+def test_pseudo_train_and_cutmix_datasets(synth, tmp_path):
+    profile = DATASET_PROFILES["wsss4luad"]
+    mask_dir = tmp_path / "refined"
+    mask_dir.mkdir()
+    rng = np.random.RandomState(0)
+    from pistoseg_tpu.ops.palette import encode_palette_png
+    for p in sorted(Path(synth["train"]).glob("*.png")):
+        encode_palette_png(rng.randint(0, 4, (64, 64)).astype(np.uint8),
+                           profile.palette, mask_dir / p.name)
+    ds = PseudoTrainDataset(synth["train"], mask_dir, profile, patch_size=32,
+                            cutmix_prob=1.0)
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["mask"].shape == (32, 32)
+    assert item["label"].shape == (3,)
+
+    ds2 = CutMixDataset(synth["train"], profile, patch_size=32, cutmix_prob=1.0)
+    item2 = ds2[0]
+    assert item2["image"].shape == (32, 32, 3)
+    assert set(np.unique(item2["mask"])) <= {0, 1, 2, 3}
+
+
+def test_refine_dataset(synth, tmp_path):
+    profile = DATASET_PROFILES["wsss4luad"]
+    pm, cm = tmp_path / "pmask", tmp_path / "cam"
+    make_stage4_artifacts(Path(synth["train"]), pm, cm)
+    ds = RefineDataset(synth["train"], pm, cm, profile, size=64)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["pmask"].shape == (32, 32, 3)
+    assert item["cam"].shape == (32, 32, 3)
+    assert item["label"].shape == (3,)
+
+
+def test_oeem_datasets(synth):
+    profile = DATASET_PROFILES["wsss4luad"]
+    ds = OriginPatchesDataset(synth["train"], profile)
+    assert ds[0]["label"].shape == (3,)
+    crops = CropListDataset(synth["big"] / "img", profile, patch_size=64,
+                            stride=32, scales=(1.0, 1.5), glob="*.png")
+    item = crops[0]
+    assert len(item["scales"]) == 2
+    s0 = item["scales"][0]
+    assert s0["crops"].shape[1:] == (64, 64, 3)
+    assert len(s0["ys"]) == len(s0["crops"])
+
+
+def test_collate_strings_and_scalars():
+    batch = collate([{"a": 1.0, "n": "x"}, {"a": 2.0, "n": "y"}], pad_to=3)
+    assert batch["a"].shape == (3,)
+    assert batch["n"] == ["x", "y", "y"]
+    assert list(batch["valid"]) == [True, True, False]

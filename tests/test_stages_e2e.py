@@ -1,0 +1,113 @@
+"""End-to-end stage tests on a tiny synthetic dataset (CPU, small shapes).
+
+Mirrors the reference pipeline order: synthesize → stage2 train →
+stage3 infer → stage5 train/test, with tiny models/shapes so the suite
+stays runnable on the virtual CPU mesh.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pistoseg_tpu.core.config import Config, DATASET_PROFILES
+from pistoseg_tpu.data.mosaic import MosaicSynthesizer
+from pistoseg_tpu.ops.palette import decode_palette_png, encode_palette_png
+
+from util_synthetic import make_big_eval_set, make_training_patches
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipe")
+    train = root / "train"
+    make_training_patches(train, "wsss4luad", n_per_class=3, size=64)
+    big = make_big_eval_set(root / "valid", "wsss4luad", n_images=2, size=96)
+
+    profile = DATASET_PROFILES["wsss4luad"]
+    synth = MosaicSynthesizer(train, profile, patch_num=2, tile_size=16)
+    mosaic_dir = root / "mosaic"
+    synth.write_range(mosaic_dir, 0, 8)
+
+    from pistoseg_tpu.stages.stage1_split import split_images
+
+    cfg = Config()
+    patches = root / "val_patches"
+    split_images(cfg, big, patches, patch_size=64, stride=32, scales=(1.0,))
+    return {"root": root, "train": train, "big": big, "mosaic": mosaic_dir,
+            "patches": patches}
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.mesh.shape = (1,)   # single-device mesh so tiny batches shard evenly
+    cfg.mosaic.patch_size = 32
+    cfg.mosaic.batch_size = 4
+    cfg.mosaic.epochs = 1
+    cfg.mosaic.tta = False
+    cfg.seg.patch_size = 32
+    cfg.seg.batch_size = 4
+    cfg.seg.epochs = 1
+    cfg.seg.tta = False
+    cfg.infer.batch_size = 4
+    cfg.infer.tta = False
+    return cfg
+
+
+def test_stage2_then_stage3(pipe, tmp_path):
+    from pistoseg_tpu.stages.stage2_mosaic import train_stage2
+    from pistoseg_tpu.stages.stage3_infer_pmask import infer_stage3
+
+    cfg = _tiny_cfg()
+    log_dir = tmp_path / "s2"
+    r = train_stage2(cfg, str(pipe["mosaic"]), val_data=None,
+                     log_dir=str(log_dir), max_steps_per_epoch=2)
+    ckpt_dir = log_dir / "checkpoints"
+    assert (ckpt_dir / "last").exists()
+
+    out_dir = tmp_path / "pseudo"
+    r3 = infer_stage3(cfg, str(pipe["train"]), str(ckpt_dir), str(out_dir), limit=4)
+    assert r3["patches"] == 4
+    logits = sorted((out_dir / "logits_32x32").glob("*.npy"))
+    assert len(logits) == 4
+    arr = np.load(logits[0])
+    assert arr.shape == (3, 32, 32)            # [C, 32, 32] contract
+    masks = sorted((out_dir / "mask").glob("*.png"))
+    m = decode_palette_png(masks[0])
+    assert m.shape == (64, 64)                  # native patch size restored
+    assert set(np.unique(m)) <= {0, 1, 2, 3}
+
+
+def test_stage5_train_and_test(pipe, tmp_path):
+    from pistoseg_tpu.stages.stage5_test import test_stage5
+    from pistoseg_tpu.stages.stage5_train import train_stage5
+
+    profile = DATASET_PROFILES["wsss4luad"]
+    # synthesize "refined" masks for the training patches
+    mask_dir = tmp_path / "refine_cam"
+    mask_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for p in sorted(Path(pipe["train"]).glob("*.png")):
+        encode_palette_png(rng.randint(0, 4, (64, 64)).astype(np.uint8),
+                           profile.palette, mask_dir / p.name)
+
+    cfg = _tiny_cfg()
+    log_dir = tmp_path / "s5"
+    train_stage5(cfg, str(pipe["train"]), str(mask_dir), val_data=None,
+                 log_dir=str(log_dir), max_steps_per_epoch=2)
+    ckpt_dir = log_dir / "checkpoints"
+    assert (ckpt_dir / "last").exists()
+
+    cfg.seg.patch_size = 64  # test patches are 64²
+    metrics = test_stage5(cfg, str(pipe["patches"]), str(ckpt_dir),
+                          save_dir=str(tmp_path / "test_out"),
+                          big_root=str(pipe["big"]))
+    assert "patch_miou" in metrics and "mask_miou" in metrics
+    assert 0.0 <= metrics["mask_miou"] <= 1.0
+    # big predicted masks written with known-background override
+    outs = sorted((tmp_path / "test_out" / "mask").glob("*.png"))
+    assert len(outs) == 2
+    gt = decode_palette_png(Path(pipe["big"]) / "mask" / "0.png")
+    pred = decode_palette_png(outs[0])
+    assert pred.shape == gt.shape
+    np.testing.assert_array_equal(pred[gt == 3], 3)
