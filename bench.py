@@ -39,7 +39,10 @@ def main():
         variables = jax.jit(model.init, backend="cpu")(
             jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
         )
-    variables = jax.device_put(variables)
+    # explicit target device: device_put without one is a NO-OP for arrays
+    # already committed (here: committed to CPU by the cpu-backend init),
+    # which would silently re-transfer the whole tree every step.
+    variables = jax.device_put(variables, jax.devices()[0])
 
     @jax.jit
     def forward(variables, x):

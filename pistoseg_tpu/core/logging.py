@@ -46,6 +46,19 @@ class MetricsLogger:
                 w.writerow(row)
 
 
+def snapshot_code(log_dir: str | Path) -> Path:
+    """Copy the framework sources into ``{log_dir}/code`` for experiment
+    provenance (reference behavior: ``mosaic_train.py:89-92``)."""
+    import shutil
+
+    src = Path(__file__).resolve().parents[1]
+    dst = Path(log_dir) / "code" / src.name
+    if dst.exists():
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.so"))
+    return dst
+
+
 def console_metric_block(title: str, metrics: Dict[str, float], color: str = "35") -> None:
     """Reference-style ANSI metric block (``mosaic_module.py:203-215``)."""
     print("\n" + "-" * 50)

@@ -63,6 +63,20 @@ def iou_from_confusion(cm: np.ndarray) -> Tuple[np.ndarray, float, float]:
     return iou, miou, fwiou
 
 
+def f1_score(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> np.ndarray:
+    """Per-class F1 over pixels (OEEM ``metric.py:8-23`` capability)."""
+    pred = np.asarray(pred).reshape(-1)
+    gt = np.asarray(gt).reshape(-1)
+    out = np.zeros(num_classes)
+    for c in range(num_classes):
+        tp = np.sum((pred == c) & (gt == c))
+        fp = np.sum((pred == c) & (gt != c))
+        fn = np.sum((pred != c) & (gt == c))
+        denom = 2 * tp + fp + fn
+        out[c] = (2 * tp / denom) if denom > 0 else 0.0
+    return out
+
+
 class MIoUAccumulator:
     """Host-side accumulator mirroring ``mIoUMask``'s public surface."""
 

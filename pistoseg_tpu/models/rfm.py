@@ -46,9 +46,16 @@ def get_norm_cam_d(cam: jnp.ndarray) -> jnp.ndarray:
 
 
 class ReviseNet(nn.Module):
-    """Returns (cam, cam_rv, pmask_rv, pcam_rv), all (N, H, W, C)."""
+    """Returns (cam, cam_rv, pmask_rv, pcam_rv), all (N, H, W, C).
+
+    ``use_pallas=True`` routes the affinity+apply through the fused
+    Pallas attention kernel (``ops/pallas/rfm_attention.py``): the L×L
+    affinity is computed once per image and streamed over all three maps
+    concatenated on the value channel, never materializing A in HBM.
+    """
 
     num_classes: int  # including background channel
+    use_pallas: bool = False
 
     def rfm(self, m: jnp.ndarray, attn: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
         """Refine map ``m`` through affinity ``attn`` (``revise_net.py:90-96``)."""
@@ -97,15 +104,33 @@ class ReviseNet(nn.Module):
         k = nn.Conv(192, (1, 1), use_bias=False, kernel_init=gain4, name="f9_2")(f)
         q = q.reshape(N, h * w, 192)
         k = k.reshape(N, h * w, 192)
-        # A[i, j] = <q_i, k_j>, softmax over i (dim=1, column-normalized)
-        attn = jnp.einsum("nic,njc->nij", q, k,
-                          precision=jax.lax.Precision.HIGHEST)
-        attn = jax.nn.softmax(attn, axis=1)
 
         up = lambda m: resize(m, (H, W), method="linear_align_corners")
-        pmask_rv = up(self.rfm(pmask_d_norm, attn, (h, w)))
-        pcam_rv = up(self.rfm(pcam_d_norm, attn, (h, w)))
-        cam_rv = up(self.rfm(cam_d_norm, attn, (h, w)))
-        cam_up = up(cam)
 
+        if self.use_pallas:
+            from pistoseg_tpu.ops.pallas.rfm_attention import rfm_attention
+
+            C = self.num_classes
+            maps = [
+                resize(m, (h, w), method="linear_align_corners")
+                for m in (pmask_d_norm, pcam_d_norm, cam_d_norm)
+            ]
+            v = jnp.concatenate(
+                [m.reshape(N, h * w, C) for m in maps], axis=-1
+            )  # (N, L, 3C)
+            out = rfm_attention(q, k, v)  # single fused pass
+            out = out.reshape(N, h, w, 3 * C)
+            pmask_rv = up(out[..., :C])
+            pcam_rv = up(out[..., C : 2 * C])
+            cam_rv = up(out[..., 2 * C :])
+        else:
+            # A[i, j] = <q_i, k_j>, softmax over i (dim=1, column-normalized)
+            attn = jnp.einsum("nic,njc->nij", q, k,
+                              precision=jax.lax.Precision.HIGHEST)
+            attn = jax.nn.softmax(attn, axis=1)
+            pmask_rv = up(self.rfm(pmask_d_norm, attn, (h, w)))
+            pcam_rv = up(self.rfm(pcam_d_norm, attn, (h, w)))
+            cam_rv = up(self.rfm(cam_d_norm, attn, (h, w)))
+
+        cam_up = up(cam)
         return cam_up, cam_rv, pmask_rv, pcam_rv

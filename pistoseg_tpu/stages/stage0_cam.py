@@ -138,7 +138,7 @@ def train_stage0(
         state = create_train_state(
             model, rng, jnp.zeros((1, cc.crop_size, cc.crop_size, 3)), tx
         )
-    state = jax.device_put(state)
+    state = jax.device_put(state, jax.devices()[0])
 
     aug_cfg = AugmentConfig(out_size=cc.crop_size, rrc_scale=cc.rrc_scale,
                             ssr_p=0.0, distort_p=0.0)

@@ -122,7 +122,7 @@ def train_stage4(
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         state = create_train_state(model, rng, sample, tx)
-    state = jax.device_put(state)
+    state = jax.device_put(state, jax.devices()[0])
 
     train_step = make_train_step(
         build_loss_fn(model, s, rc.ecr_topk_frac, rc.precision), mesh

@@ -1,0 +1,60 @@
+"""Pallas kernels vs XLA references (interpret mode on the CPU mesh)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pistoseg_tpu.ops.pallas.rfm_attention import (
+    _rfm_attention_reference,
+    rfm_attention,
+)
+from pistoseg_tpu.ops.pallas.stitch import stitch_accumulate
+from pistoseg_tpu.ops.stitch import stitch_canvas
+
+
+def test_rfm_attention_matches_reference():
+    rng = np.random.RandomState(0)
+    n, l, d, c = 2, 64, 32, 8
+    q = jnp.asarray(rng.randn(n, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(n, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(n, l, c), jnp.float32)
+    ref = np.asarray(_rfm_attention_reference(q, k, v))
+    got = np.asarray(rfm_attention(q, k, v, block_j=32, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_rfm_attention_columns_normalized():
+    """Each output pixel must be a convex combination of input pixels."""
+    rng = np.random.RandomState(1)
+    n, l, d = 1, 16, 8
+    q = jnp.asarray(rng.randn(n, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(n, l, d), jnp.float32)
+    v = jnp.ones((n, l, 4), jnp.float32)
+    out = np.asarray(rfm_attention(q, k, v, block_j=16, interpret=True))
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+def test_stitch_accumulate_matches_scan_path():
+    rng = np.random.RandomState(2)
+    patches = jnp.asarray(rng.rand(3, 8, 8, 4), jnp.float32)
+    ys = jnp.asarray([0, 4, 8], jnp.int32)
+    xs = jnp.asarray([0, 4, 0], jnp.int32)
+    valid = jnp.asarray([True, True, False])
+    v_ref, c_ref = stitch_canvas(patches, ys, xs, valid, 16, 16)
+    v_got, c_got = stitch_accumulate(patches, ys, xs, valid, 16, 16,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), atol=1e-5)
+
+
+def test_stitch_accumulate_fallback_path():
+    rng = np.random.RandomState(3)
+    patches = jnp.asarray(rng.rand(2, 4, 4, 2), jnp.float32)
+    ys = jnp.asarray([0, 2], jnp.int32)
+    xs = jnp.asarray([0, 2], jnp.int32)
+    valid = jnp.asarray([True, True])
+    v1, c1 = stitch_accumulate(patches, ys, xs, valid, 8, 8, use_pallas=False)
+    v2, c2 = stitch_accumulate(patches, ys, xs, valid, 8, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
