@@ -42,6 +42,51 @@ def collate(samples: Sequence[Dict], pad_to: Optional[int] = None) -> Dict:
     return batch
 
 
+class ShardBatchLoader:
+    """Batch iterator over a :class:`~pistoseg_tpu.data.shardio.ShardPairDataset`.
+
+    Bypasses per-item ``__getitem__``: whole shuffled batches come out of
+    the native pthread gather as contiguous arrays.  Same determinism
+    contract as :class:`BatchLoader` (order = f(seed, epoch)).
+    """
+
+    def __init__(self, shard_ds, batch_size: int, shuffle: bool = True,
+                 seed: int = 42, drop_last: bool = False):
+        self.ds = shard_ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0):
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            if len(idx) < bs:
+                if self.drop_last:
+                    break
+                pad = np.concatenate([idx, np.repeat(idx[-1:], bs - len(idx))])
+                batch = self.ds.gather_batch(pad)
+                batch["valid"] = np.arange(bs) < len(idx)
+            else:
+                batch = self.ds.gather_batch(idx)
+                batch["valid"] = np.ones(bs, bool)
+            yield batch
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
 class BatchLoader:
     """Iterable over collated batches with thread-parallel sample loading."""
 

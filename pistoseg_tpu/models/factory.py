@@ -38,10 +38,14 @@ class Unet(nn.Module):
         return nn.Conv(self.num_classes, (3, 3), padding="SAME", name="head")(y)
 
 
+from pistoseg_tpu.models.deeplab import DeepLabV3Plus
+
 _MODELS = {
     "unetplusplus": UnetPlusPlus,
     "unet++": UnetPlusPlus,
     "unet": Unet,
+    "deeplabv3plus": DeepLabV3Plus,
+    "deeplabv3+": DeepLabV3Plus,
 }
 
 

@@ -88,7 +88,8 @@ def rfm_attention(
     use_pallas: bool = True,
 ) -> jnp.ndarray:
     """out[n, j, c] = Σ_i softmax_i(q_i·k_j) · v[n, i, c]."""
-    if not use_pallas:
+    if not use_pallas or (not interpret and not on_tpu()):
+        # off-TPU (and not explicitly interpreting): XLA reference path
         return _rfm_attention_reference(q, k, v)
     l = q.shape[1]
     bj = min(block_j, l)

@@ -47,7 +47,7 @@ def build_loss_fn(model, profile, stage_cfg, aug_cfg: AugmentConfig):
     act_dtype = jnp.bfloat16 if stage_cfg.precision == "bf16" else jnp.float32
 
     def loss_fn(params, batch_stats, batch, rng):
-        aug_key, drop_key = jax.random.split(rng)
+        aug_key, path_key, drop_key = jax.random.split(rng, 3)
         images, masks = augment_batch(aug_key, batch["image"], batch["mask"], aug_cfg)
         images = images.astype(act_dtype)
         out, upd = model.apply(
@@ -55,7 +55,7 @@ def build_loss_fn(model, profile, stage_cfg, aug_cfg: AugmentConfig):
             images,
             train=True,
             mutable=["batch_stats"],
-            rngs={"droppath": drop_key},
+            rngs={"droppath": path_key, "dropout": drop_key},
         )
         out = out.astype(jnp.float32)
         # padded tail samples contribute nothing
@@ -78,6 +78,7 @@ def train_stage2(
     val_big_root: Optional[str] = None,
     log_dir: str = "logs/stage2",
     max_steps_per_epoch: Optional[int] = None,
+    shard_cache: Optional[str] = None,
 ) -> Dict:
     profile = cfg.profile
     sc = cfg.mosaic
@@ -86,7 +87,25 @@ def train_stage2(
 
     model = create_segmentation_model(sc.model, sc.encoder, num_classes, sc.decoder_attention)
     train_ds = MosaicDataset(mosaic_data)
-    loader = BatchLoader(train_ds, sc.batch_size, shuffle=True, seed=cfg.seed)
+    if shard_cache is not None:
+        # pre-decoded native shard cache for the hot loop (built once,
+        # keyed by a content manifest of the mosaic directory)
+        from pistoseg_tpu.core.manifest import hash_tree, stage_is_current, write_manifest
+        from pistoseg_tpu.data.loader import ShardBatchLoader
+        from pistoseg_tpu.data.shardio import ShardPairDataset, build_image_mask_cache
+
+        cache_dir = Path(shard_cache)
+        inputs = {"mosaic": hash_tree(mosaic_data, "img/*.png", limit=64)}
+        if not stage_is_current(cache_dir, "shard_cache", inputs, {}):
+            build_image_mask_cache(train_ds, cache_dir / "mosaic")
+            write_manifest(cache_dir, "shard_cache", inputs, {},
+                           outputs={"records": len(train_ds)})
+        loader = ShardBatchLoader(
+            ShardPairDataset(cache_dir / "mosaic"), sc.batch_size,
+            shuffle=True, seed=cfg.seed,
+        )
+    else:
+        loader = BatchLoader(train_ds, sc.batch_size, shuffle=True, seed=cfg.seed)
     steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
 
     tx = adamw_exponential(sc.lr, sc.weight_decay, sc.lr_decay, steps_per_epoch)
@@ -170,6 +189,7 @@ def main(argv=None):
         max_steps_per_epoch=(
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
+        shard_cache=extras.get("shard_cache"),
     )
 
 

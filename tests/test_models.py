@@ -118,3 +118,15 @@ def test_revise_net_outputs():
     for t in (cam, cam_rv, pmask_rv, pcam_rv):
         assert t.shape == (1, 64, 64, 4)
         assert bool(jnp.isfinite(t).all())
+
+
+def test_deeplabv3plus():
+    m = create_segmentation_model("DeepLabV3Plus", "efficientnet-b0", 3)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (1, 64, 64, 3)
+    out_t, upd = m.apply(vars_, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1),
+                               "droppath": jax.random.PRNGKey(2)})
+    assert out_t.shape == (1, 64, 64, 3)

@@ -1,0 +1,85 @@
+"""End-to-end tests for the ResNet38d-based stages (0 and 4) — tiny shapes.
+
+These compile the large backbone on CPU, so inputs are kept minimal:
+32² images, batch 2, one step.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pistoseg_tpu.core.config import Config, DATASET_PROFILES
+
+from util_synthetic import (
+    make_big_eval_set,
+    make_stage4_artifacts,
+    make_training_patches,
+)
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("heavy")
+    train = root / "train"
+    make_training_patches(train, "wsss4luad", n_per_class=2, size=64)
+    pm, cm = root / "pmask", root / "cam"
+    make_stage4_artifacts(train, pm, cm)
+    return {"root": root, "train": train, "pmask": pm, "cam": cm}
+
+
+def _cfg():
+    cfg = Config()
+    cfg.mesh.shape = (1,)
+    cfg.revise.batch_size = 2
+    cfg.revise.epochs = 1
+    cfg.revise.train_size = 32
+    cfg.revise.infer_size = 32
+    cfg.cam.batch_size = 2
+    cfg.cam.epochs = 1
+    cfg.cam.crop_size = 32
+    cfg.infer.batch_size = 2
+    return cfg
+
+
+def test_stage4_train_and_infer(data, tmp_path):
+    from pistoseg_tpu.ops.palette import decode_palette_png
+    from pistoseg_tpu.stages.stage4_revise import train_stage4
+    from pistoseg_tpu.stages.stage4b_infer_revise import infer_stage4b
+
+    cfg = _cfg()
+    log_dir = tmp_path / "s4"
+    r = train_stage4(cfg, str(data["train"]), str(data["pmask"]), str(data["cam"]),
+                     log_dir=str(log_dir), max_steps_per_epoch=1)
+    ckpt_dir = Path(r["checkpoint_dir"])
+    assert (ckpt_dir / "rfm").exists()
+
+    r2 = infer_stage4b(cfg, str(data["train"]), str(data["pmask"]), str(data["cam"]),
+                       str(ckpt_dir), out_dir=str(tmp_path / "refine"), limit=2)
+    assert r2["patches"] == 2
+    for sub in ("pmask", "pcam", "cam"):
+        outs = sorted((tmp_path / "refine" / sub).glob("*.png"))
+        assert len(outs) == 2
+        m = decode_palette_png(outs[0])
+        assert m.shape == (64, 64)                 # native size restored
+        assert set(np.unique(m)) <= {0, 1, 2, 3}   # fg classes + reimposed bg
+
+
+def test_stage0_train_and_export(data, tmp_path):
+    from pistoseg_tpu.stages.stage0_cam import train_stage0
+    from pistoseg_tpu.stages.stage0_export_cam import export_cams
+
+    cfg = _cfg()
+    log_dir = tmp_path / "s0"
+    r = train_stage0(cfg, str(data["train"]), log_dir=str(log_dir),
+                     max_steps_per_epoch=1)
+    ckpt_dir = Path(r["checkpoint_dir"])
+    assert (ckpt_dir / "last").exists()
+
+    out = tmp_path / "CAM"
+    r2 = export_cams(cfg, str(data["train"]), str(ckpt_dir), str(out), limit=2)
+    assert r2["cams"] == 2
+    arrs = sorted(out.glob("*.npy"))
+    cam = np.load(arrs[0])
+    assert cam.shape == (3, 32, 32)                # stage-4 artifact contract
+    assert np.isfinite(cam).all()
