@@ -14,7 +14,7 @@ separable convs, head, ×4 upsample to input resolution.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,6 +28,7 @@ class _ConvBNReLU(nn.Module):
     kernel: int = 3
     dilation: int = 1
     depthwise: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,30 +37,33 @@ class _ConvBNReLU(nn.Module):
             x = nn.Conv(c, (self.kernel, self.kernel),
                         kernel_dilation=(self.dilation, self.dilation),
                         padding="SAME", feature_group_count=c, use_bias=False,
-                        name="dw")(x)
-            x = nn.Conv(self.features, (1, 1), use_bias=False, name="pw")(x)
+                        dtype=self.dtype, name="dw")(x)
+            x = nn.Conv(self.features, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="pw")(x)
         else:
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         kernel_dilation=(self.dilation, self.dilation),
-                        padding="SAME", use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+                        padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
 class ASPP(nn.Module):
     features: int = 256
     rates: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1:3]
-        branches = [_ConvBNReLU(self.features, 1)(x, train)]
+        branches = [_ConvBNReLU(self.features, 1, dtype=self.dtype)(x, train)]
         for r in self.rates:
             branches.append(
-                _ConvBNReLU(self.features, 3, dilation=r, depthwise=True)(x, train)
+                _ConvBNReLU(self.features, 3, dilation=r, depthwise=True,
+                            dtype=self.dtype)(x, train)
             )
         gp = jnp.mean(x, axis=(1, 2), keepdims=True)
-        gp = _ConvBNReLU(self.features, 1)(gp, train)
+        gp = _ConvBNReLU(self.features, 1, dtype=self.dtype)(gp, train)
         gp = jnp.broadcast_to(gp, (x.shape[0], h, w, self.features))
         branches.append(gp)
         y = jnp.concatenate(branches, axis=-1)
@@ -72,18 +76,22 @@ class DeepLabV3Plus(nn.Module):
     encoder_name: str = "efficientnet-b0"
     decoder_channels: int = 256
     attention: Optional[str] = None  # accepted for factory uniformity
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         H, W = x.shape[1:3]
-        feats = EfficientNetEncoder(self.encoder_name, name="encoder")(x, train=train)
+        feats = EfficientNetEncoder(self.encoder_name, dtype=self.dtype,
+                                    name="encoder")(x, train=train)
         r4, r16 = feats[1], feats[3]
 
-        y = ASPP(self.decoder_channels, name="aspp")(r16, train=train)
+        y = ASPP(self.decoder_channels, dtype=self.dtype, name="aspp")(r16, train=train)
         y = resize(y, r4.shape[1:3], method="linear")
-        low = _ConvBNReLU(48, 1, name="low_proj")(r4, train)
-        y = jnp.concatenate([y, low], axis=-1)
-        y = _ConvBNReLU(self.decoder_channels, 3, depthwise=True, name="fuse1")(y, train)
-        y = _ConvBNReLU(self.decoder_channels, 3, depthwise=True, name="fuse2")(y, train)
-        y = nn.Conv(self.num_classes, (1, 1), name="head")(y)
+        low = _ConvBNReLU(48, 1, dtype=self.dtype, name="low_proj")(r4, train)
+        y = jnp.concatenate([y, low.astype(y.dtype)], axis=-1)
+        y = _ConvBNReLU(self.decoder_channels, 3, depthwise=True,
+                        dtype=self.dtype, name="fuse1")(y, train)
+        y = _ConvBNReLU(self.decoder_channels, 3, depthwise=True,
+                        dtype=self.dtype, name="fuse2")(y, train)
+        y = nn.Conv(self.num_classes, (1, 1), name="head")(y.astype(jnp.float32))
         return resize(y, (H, W), method="linear")

@@ -73,14 +73,15 @@ class SqueezeExcite(nn.Module):
     in_channels: int          # un-expanded block input channels (ratio base)
     expanded: int
     se_ratio: float = 0.25
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         reduced = max(1, int(self.in_channels * self.se_ratio))
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(reduced, (1, 1), name="reduce")(s)
+        s = nn.Conv(reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
         s = nn.swish(s)
-        s = nn.Conv(self.expanded, (1, 1), name="expand")(s)
+        s = nn.Conv(self.expanded, (1, 1), dtype=self.dtype, name="expand")(s)
         return x * nn.sigmoid(s)
 
 
@@ -93,6 +94,7 @@ class MBConv(nn.Module):
     drop_rate: float = 0.0
     bn_momentum: float = 0.9
     bn_eps: float = 1e-3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -104,11 +106,13 @@ class MBConv(nn.Module):
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,
+                dtype=self.dtype,
                 name=name,
             )
 
         if self.expand_ratio != 1:
-            x = nn.Conv(c_exp, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.Conv(c_exp, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(x)
             x = bn("bn0")(x)
             x = nn.swish(x)
 
@@ -119,14 +123,16 @@ class MBConv(nn.Module):
             padding="SAME",
             feature_group_count=c_exp,
             use_bias=False,
+            dtype=self.dtype,
             name="dwconv",
         )(x)
         x = bn("bn1")(x)
         x = nn.swish(x)
 
-        x = SqueezeExcite(self.in_channels, c_exp, name="se")(x)
+        x = SqueezeExcite(self.in_channels, c_exp, dtype=self.dtype, name="se")(x)
 
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="project_conv")(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(x)
         x = bn("bn2")(x)
 
         if self.stride == 1 and self.in_channels == self.out_channels:
@@ -147,16 +153,18 @@ class EfficientNetEncoder(nn.Module):
     model_name: str = "efficientnet-b0"
     drop_path_rate: float = 0.2
     bn_momentum: float = 0.9
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         w, d, _ = _SCALING[self.model_name]
         stem_ch = round_filters(32, w)
 
+        x = x.astype(self.dtype)
         x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, name="stem_conv")(x)
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                         epsilon=1e-3, name="stem_bn")(x)
+                         epsilon=1e-3, dtype=self.dtype, name="stem_bn")(x)
         x = nn.swish(x)
 
         features: List[jnp.ndarray] = [x]  # reduction 2
@@ -178,6 +186,7 @@ class EfficientNetEncoder(nn.Module):
                     stride=s,
                     drop_rate=drop,
                     bn_momentum=self.bn_momentum,
+                    dtype=self.dtype,
                     name=f"stage{stage_i}_block{r}",
                 )(x, train=train)
                 in_ch = out_ch

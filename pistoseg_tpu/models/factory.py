@@ -14,7 +14,7 @@ import flax.linen as nn
 from pistoseg_tpu.models.unetpp import UnetPlusPlus, DecoderBlock, ConvBNReLU, upsample2x_nearest
 from pistoseg_tpu.models.efficientnet import EfficientNetEncoder
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 
@@ -26,16 +26,19 @@ class Unet(nn.Module):
     encoder_name: str = "efficientnet-b0"
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     attention: Optional[str] = "scse"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = EfficientNetEncoder(self.encoder_name, name="encoder")(x, train=train)
+        feats = EfficientNetEncoder(self.encoder_name, dtype=self.dtype,
+                                    name="encoder")(x, train=train)
         skips = feats[:-1][::-1] + [None]          # [r16, r8, r4, r2, None]
         y = feats[-1]
         for i, skip in enumerate(skips):
             y = DecoderBlock(self.decoder_channels[i], self.attention,
-                             name=f"block{i}")(y, skip, train=train)
-        return nn.Conv(self.num_classes, (3, 3), padding="SAME", name="head")(y)
+                             self.dtype, name=f"block{i}")(y, skip, train=train)
+        return nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                       name="head")(y.astype(jnp.float32))
 
 
 from pistoseg_tpu.models.deeplab import DeepLabV3Plus
@@ -54,9 +57,13 @@ def create_segmentation_model(
     encoder: str,
     num_classes: int,
     attention: str = "scse",
+    dtype=jnp.float32,
 ) -> nn.Module:
+    """smp.create_model equivalent; ``dtype`` is the computation dtype
+    (bf16 for the TPU hot path; params always f32)."""
     key = model.lower().replace("_", "").replace("-", "")
     if key not in _MODELS:
         raise ValueError(f"unknown model '{model}' (have: {sorted(_MODELS)})")
     cls = _MODELS[key]
-    return cls(num_classes=num_classes, encoder_name=encoder, attention=attention)
+    return cls(num_classes=num_classes, encoder_name=encoder,
+               attention=attention, dtype=dtype)

@@ -20,13 +20,14 @@ The OEEM classifier variant differs only in b7's dilation (2 vs 4,
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
-def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1, name=None):
+def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+          dtype=jnp.float32, name=None):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -35,6 +36,7 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1, name=N
         kernel_dilation=(dilation, dilation),
         padding=[(pad, pad), (pad, pad)],
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
@@ -44,6 +46,7 @@ class FrozenBN(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,6 +54,7 @@ class FrozenBN(nn.Module):
             use_running_average=True,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            dtype=self.dtype,
             name="bn",
         )(x)
 
@@ -63,25 +67,29 @@ class ResBlock(nn.Module):
     stride: int = 1
     first_dilation: int = 1
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_branch: bool = False):
         in_ch = x.shape[-1]
         same_shape = in_ch == self.out_channels and self.stride == 1
 
-        branch2 = nn.relu(FrozenBN(name="bn_branch2a")(x))
+        branch2 = nn.relu(FrozenBN(dtype=self.dtype, name="bn_branch2a")(x))
         x_bn_relu = branch2
 
         if same_shape:
             branch1 = x
         else:
-            branch1 = _conv(self.out_channels, 1, self.stride, name="conv_branch1")(branch2)
+            branch1 = _conv(self.out_channels, 1, self.stride, dtype=self.dtype,
+                            name="conv_branch1")(branch2)
 
         branch2 = _conv(
-            self.mid_channels, 3, self.stride, self.first_dilation, name="conv_branch2a"
+            self.mid_channels, 3, self.stride, self.first_dilation,
+            dtype=self.dtype, name="conv_branch2a"
         )(branch2)
-        branch2 = nn.relu(FrozenBN(name="bn_branch2b1")(branch2))
-        branch2 = _conv(self.out_channels, 3, 1, self.dilation, name="conv_branch2b1")(branch2)
+        branch2 = nn.relu(FrozenBN(dtype=self.dtype, name="bn_branch2b1")(branch2))
+        branch2 = _conv(self.out_channels, 3, 1, self.dilation, dtype=self.dtype,
+                        name="conv_branch2b1")(branch2)
 
         out = branch1 + branch2
         if return_branch:
@@ -97,21 +105,26 @@ class ResBlockBot(nn.Module):
     stride: int = 1
     dilation: int = 1
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, return_branch: bool = False):
-        branch2 = nn.relu(FrozenBN(name="bn_branch2a")(x))
+        branch2 = nn.relu(FrozenBN(dtype=self.dtype, name="bn_branch2a")(x))
         x_bn_relu = branch2
 
-        branch1 = _conv(self.out_channels, 1, self.stride, name="conv_branch1")(branch2)
+        branch1 = _conv(self.out_channels, 1, self.stride, dtype=self.dtype,
+                        name="conv_branch1")(branch2)
 
-        branch2 = _conv(self.out_channels // 4, 1, self.stride, name="conv_branch2a")(branch2)
-        branch2 = nn.relu(FrozenBN(name="bn_branch2b1")(branch2))
+        branch2 = _conv(self.out_channels // 4, 1, self.stride, dtype=self.dtype,
+                        name="conv_branch2a")(branch2)
+        branch2 = nn.relu(FrozenBN(dtype=self.dtype, name="bn_branch2b1")(branch2))
         branch2 = nn.Dropout(self.dropout, broadcast_dims=(1, 2), deterministic=not train)(branch2)
-        branch2 = _conv(self.out_channels // 2, 3, 1, self.dilation, name="conv_branch2b1")(branch2)
-        branch2 = nn.relu(FrozenBN(name="bn_branch2b2")(branch2))
+        branch2 = _conv(self.out_channels // 2, 3, 1, self.dilation, dtype=self.dtype,
+                        name="conv_branch2b1")(branch2)
+        branch2 = nn.relu(FrozenBN(dtype=self.dtype, name="bn_branch2b2")(branch2))
         branch2 = nn.Dropout(self.dropout, broadcast_dims=(1, 2), deterministic=not train)(branch2)
-        branch2 = _conv(self.out_channels, 1, 1, name="conv_branch2b2")(branch2)
+        branch2 = _conv(self.out_channels, 1, 1, dtype=self.dtype,
+                        name="conv_branch2b2")(branch2)
 
         out = branch1 + branch2
         if return_branch:
@@ -123,39 +136,43 @@ class ResNet38d(nn.Module):
     """Backbone; ``__call__`` returns the conv3–conv6 feature dict."""
 
     b7_dilation: int = 4  # OEEM classifier variant uses 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        x = _conv(64, 3, name="conv1a")(x)
+        x = x.astype(self.dtype)
+        x = _conv(64, 3, dtype=self.dtype, name="conv1a")(x)
 
-        x = ResBlock(128, 128, stride=2, name="b2")(x)
-        x = ResBlock(128, 128, name="b2_1")(x)
-        x = ResBlock(128, 128, name="b2_2")(x)
+        x = ResBlock(128, 128, stride=2, dtype=self.dtype, name="b2")(x)
+        x = ResBlock(128, 128, dtype=self.dtype, name="b2_1")(x)
+        x = ResBlock(128, 128, dtype=self.dtype, name="b2_2")(x)
 
-        x = ResBlock(256, 256, stride=2, name="b3")(x)
-        x = ResBlock(256, 256, name="b3_1")(x)
-        x = ResBlock(256, 256, name="b3_2")(x)
+        x = ResBlock(256, 256, stride=2, dtype=self.dtype, name="b3")(x)
+        x = ResBlock(256, 256, dtype=self.dtype, name="b3_1")(x)
+        x = ResBlock(256, 256, dtype=self.dtype, name="b3_2")(x)
 
-        x, conv3 = ResBlock(512, 512, stride=2, name="b4")(x, return_branch=True)
-        x = ResBlock(512, 512, name="b4_1")(x)
-        x = ResBlock(512, 512, name="b4_2")(x)
-        x = ResBlock(512, 512, name="b4_3")(x)
-        x = ResBlock(512, 512, name="b4_4")(x)
-        x = ResBlock(512, 512, name="b4_5")(x)
+        x, conv3 = ResBlock(512, 512, stride=2, dtype=self.dtype, name="b4")(x, return_branch=True)
+        x = ResBlock(512, 512, dtype=self.dtype, name="b4_1")(x)
+        x = ResBlock(512, 512, dtype=self.dtype, name="b4_2")(x)
+        x = ResBlock(512, 512, dtype=self.dtype, name="b4_3")(x)
+        x = ResBlock(512, 512, dtype=self.dtype, name="b4_4")(x)
+        x = ResBlock(512, 512, dtype=self.dtype, name="b4_5")(x)
 
         x, conv4 = ResBlock(
-            512, 1024, stride=1, first_dilation=1, dilation=2, name="b5"
+            512, 1024, stride=1, first_dilation=1, dilation=2,
+            dtype=self.dtype, name="b5"
         )(x, return_branch=True)
-        x = ResBlock(512, 1024, dilation=2, name="b5_1")(x)
-        x = ResBlock(512, 1024, dilation=2, name="b5_2")(x)
+        x = ResBlock(512, 1024, dilation=2, dtype=self.dtype, name="b5_1")(x)
+        x = ResBlock(512, 1024, dilation=2, dtype=self.dtype, name="b5_2")(x)
 
-        x, conv5 = ResBlockBot(2048, dilation=4, dropout=0.3, name="b6")(
+        x, conv5 = ResBlockBot(2048, dilation=4, dropout=0.3, dtype=self.dtype, name="b6")(
             x, train=train, return_branch=True
         )
 
-        x = ResBlockBot(4096, dilation=self.b7_dilation, dropout=0.5, name="b7")(
+        x = ResBlockBot(4096, dilation=self.b7_dilation, dropout=0.5,
+                        dtype=self.dtype, name="b7")(
             x, train=train
         )
-        conv6 = nn.relu(FrozenBN(name="bn7")(x))
+        conv6 = nn.relu(FrozenBN(dtype=self.dtype, name="bn7")(x))
 
         return {"conv3": conv3, "conv4": conv4, "conv5": conv5, "conv6": conv6}

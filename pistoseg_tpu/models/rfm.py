@@ -17,7 +17,7 @@ only VPU-bound step.  ``get_norm_cam_d`` is fully stop-gradient
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -56,6 +56,7 @@ class ReviseNet(nn.Module):
 
     num_classes: int  # including background channel
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     def rfm(self, m: jnp.ndarray, attn: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
         """Refine map ``m`` through affinity ``attn`` (``revise_net.py:90-96``)."""
@@ -77,13 +78,14 @@ class ReviseNet(nn.Module):
         train: bool = False,
     ):
         N, H, W, _ = x.shape
-        d = ResNet38d(b7_dilation=4, name="backbone")(x, train=train)
+        d = ResNet38d(b7_dilation=4, dtype=self.dtype, name="backbone")(x, train=train)
 
         conv6 = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train,
                            name="dropout7")(d["conv6"])
+        # CAM head and attention projections in f32 (parity-sensitive)
         cam = nn.Conv(self.num_classes, (1, 1), use_bias=False,
                       kernel_init=nn.initializers.xavier_uniform(),
-                      name="fc8")(conv6)                    # (N, h, w, C)
+                      name="fc8")(conv6.astype(jnp.float32))  # (N, h, w, C)
         h, w = cam.shape[1:3]
 
         cam_d_norm = get_norm_cam_d(cam)
@@ -92,10 +94,10 @@ class ReviseNet(nn.Module):
 
         f8_3 = nn.relu(nn.Conv(64, (1, 1), use_bias=False,
                                kernel_init=nn.initializers.kaiming_normal(),
-                               name="f8_3")(d["conv4"]))
+                               name="f8_3")(d["conv4"].astype(jnp.float32)))
         f8_4 = nn.relu(nn.Conv(128, (1, 1), use_bias=False,
                                kernel_init=nn.initializers.kaiming_normal(),
-                               name="f8_4")(d["conv5"]))
+                               name="f8_4")(d["conv5"].astype(jnp.float32)))
         x_s = resize(x, (h, w), method="linear_align_corners")
         f = jnp.concatenate([x_s, f8_3, f8_4], axis=-1)     # (N, h, w, 195)
 

@@ -15,7 +15,7 @@ MXU.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,18 +35,20 @@ class SCSE(nn.Module):
     """Concurrent spatial & channel squeeze-excitation (smp 'scse')."""
 
     reduction: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         # cSE
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(max(1, c // self.reduction), (1, 1), name="cse_reduce")(s)
+        s = nn.Conv(max(1, c // self.reduction), (1, 1), dtype=self.dtype,
+                    name="cse_reduce")(s)
         s = nn.relu(s)
-        s = nn.Conv(c, (1, 1), name="cse_expand")(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, name="cse_expand")(s)
         cse = x * nn.sigmoid(s)
         # sSE
-        q = nn.Conv(1, (1, 1), name="sse")(x)
+        q = nn.Conv(1, (1, 1), dtype=self.dtype, name="sse")(x)
         sse = x * nn.sigmoid(q)
         return cse + sse
 
@@ -54,17 +56,21 @@ class SCSE(nn.Module):
 class ConvBNReLU(nn.Module):
     features: int
     bn_momentum: float = 0.9
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum)(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
 class DecoderBlock(nn.Module):
     out_channels: int
     attention: Optional[str] = "scse"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -72,13 +78,13 @@ class DecoderBlock(nn.Module):
     ) -> jnp.ndarray:
         x = upsample2x_nearest(x)
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             if self.attention == "scse":
-                x = SCSE(name="attention1")(x)
-        x = ConvBNReLU(self.out_channels, name="conv1")(x, train=train)
-        x = ConvBNReLU(self.out_channels, name="conv2")(x, train=train)
+                x = SCSE(dtype=self.dtype, name="attention1")(x)
+        x = ConvBNReLU(self.out_channels, dtype=self.dtype, name="conv1")(x, train=train)
+        x = ConvBNReLU(self.out_channels, dtype=self.dtype, name="conv2")(x, train=train)
         if self.attention == "scse":
-            x = SCSE(name="attention2")(x)
+            x = SCSE(dtype=self.dtype, name="attention2")(x)
         return x
 
 
@@ -92,6 +98,7 @@ class UnetPlusPlusDecoder(nn.Module):
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     attention: Optional[str] = "scse"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
@@ -111,18 +118,18 @@ class UnetPlusPlusDecoder(nn.Module):
                     out_ch = dch[li] if d == 0 else feats[li + 1].shape[-1]
                     # first diagonal: input feats[d], skip feats[d+1]
                     dense[(d, li)] = DecoderBlock(
-                        out_ch, self.attention, name=f"x_{d}_{li}"
+                        out_ch, self.attention, self.dtype, name=f"x_{d}_{li}"
                     )(feats[d], feats[d + 1], train=train)
                 else:
                     cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
                     skip = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
                     out_ch = dch[li] if d == 0 else feats[li + 1].shape[-1]
                     dense[(d, li)] = DecoderBlock(
-                        out_ch, self.attention, name=f"x_{d}_{li}"
+                        out_ch, self.attention, self.dtype, name=f"x_{d}_{li}"
                     )(dense[(d, li - 1)], skip, train=train)
         # final ×2 to input resolution, no skip
         dense[(0, depth)] = DecoderBlock(
-            dch[depth], self.attention, name=f"x_0_{depth}"
+            dch[depth], self.attention, self.dtype, name=f"x_0_{depth}"
         )(dense[(0, depth - 1)], None, train=train)
         return dense[(0, depth)]
 
@@ -134,11 +141,15 @@ class UnetPlusPlus(nn.Module):
     encoder_name: str = "efficientnet-b0"
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     attention: Optional[str] = "scse"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = EfficientNetEncoder(self.encoder_name, name="encoder")(x, train=train)
+        feats = EfficientNetEncoder(self.encoder_name, dtype=self.dtype,
+                                    name="encoder")(x, train=train)
         y = UnetPlusPlusDecoder(
-            tuple(self.decoder_channels), self.attention, name="decoder"
+            tuple(self.decoder_channels), self.attention, self.dtype, name="decoder"
         )(feats, train=train)
-        return nn.Conv(self.num_classes, (3, 3), padding="SAME", name="head")(y)
+        # head + logits in f32 for loss stability
+        return nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                       name="head")(y.astype(jnp.float32))

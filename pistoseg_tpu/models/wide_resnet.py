@@ -15,7 +15,7 @@ no weight copying, both outputs in one forward.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,11 +25,14 @@ from pistoseg_tpu.models.resnet38d import ResNet38d
 
 class WideResNetClassifier(nn.Module):
     num_classes: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        d = ResNet38d(b7_dilation=2, name="trunk")(x, train=train)
+        d = ResNet38d(b7_dilation=2, dtype=self.dtype, name="trunk")(x, train=train)
         feats = jnp.concatenate([d["conv4"], d["conv5"], d["conv6"]], axis=-1)
-        pixel_logits = nn.Dense(self.num_classes, name="fc_cls")(feats)  # (N,h,w,C)
+        # head in f32 for loss stability
+        pixel_logits = nn.Dense(self.num_classes, name="fc_cls")(
+            feats.astype(jnp.float32))  # (N,h,w,C)
         logits = jnp.mean(pixel_logits, axis=(1, 2))                     # (N,C)
         return {"logits": logits, "cam": pixel_logits}

@@ -35,8 +35,11 @@ def _kernel(q_ref, k_ref, v_ref, out_ref):
     # q: (L, D); k block: (BJ, D); v: (L, C); out block: (BJ, C)
     q = q_ref[:]
     kb = k_ref[:]
+    # HIGHEST: match the XLA reference path bit-for-bit in spirit — the
+    # MXU's default single-pass bf16 rounding costs ~4e-2 on the scores
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (L, BJ): s[i, j] = q_i · k_j
     # softmax over i (axis 0) — the reference's dim=1 in (N, hw, hw) layout
@@ -45,6 +48,7 @@ def _kernel(q_ref, k_ref, v_ref, out_ref):
     p = e / jnp.sum(e, axis=0, keepdims=True)
     out_ref[:] = jax.lax.dot_general(
         p, v_ref[:], (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (BJ, C)
 

@@ -12,6 +12,14 @@ Layout: the count canvas is fused in by appending a ones-channel to each
 patch (wrapper), so one kernel produces value+count in a single pass.
 Patch coordinates arrive as scalar-prefetch arrays (SMEM) so each grid
 step can start its window DMA immediately.
+
+Status: validated in interpret mode; on real TPU hardware Mosaic rejects
+the dynamic (y, x) window DMA because slices along the lane-tiled channel
+dim must be 128-aligned (C = num_classes+1 ≈ 5).  Until the kernel is
+re-laid-out around that constraint (e.g. (H, C, W) with masked lane
+adds), :func:`stitch_accumulate` automatically uses the XLA
+``lax.scan``/dynamic-update-slice path on TPU — which XLA already
+executes as in-place updates.
 """
 
 from __future__ import annotations
@@ -95,7 +103,8 @@ def stitch_accumulate(
     """Returns (value_canvas (H, W, C), count_canvas (H, W, 1))."""
     ones = jnp.ones(patches.shape[:-1] + (1,), patches.dtype)
     fused = jnp.concatenate([patches, ones], axis=-1)
-    if not use_pallas:
+    run_pallas = use_pallas and (interpret or False)  # see module docstring
+    if not run_pallas:
         from pistoseg_tpu.ops.stitch import stitch_canvas
 
         value, count = stitch_canvas(fused, ys, xs, valid, canvas_h, canvas_w)

@@ -85,7 +85,9 @@ def train_stage2(
     mesh = stage_mesh(cfg)
     num_classes = profile.num_classes
 
-    model = create_segmentation_model(sc.model, sc.encoder, num_classes, sc.decoder_attention)
+    act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
+    model = create_segmentation_model(sc.model, sc.encoder, num_classes,
+                                      sc.decoder_attention, dtype=act_dtype)
     train_ds = MosaicDataset(mosaic_data)
     if shard_cache is not None:
         # pre-decoded native shard cache for the hot loop (built once,

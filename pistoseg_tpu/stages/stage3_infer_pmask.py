@@ -69,7 +69,9 @@ def infer_stage3(
     num_classes = profile.num_classes
     sc = cfg.mosaic
 
-    model = create_segmentation_model(sc.model, sc.encoder, num_classes, sc.decoder_attention)
+    act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
+    model = create_segmentation_model(sc.model, sc.encoder, num_classes,
+                                      sc.decoder_attention, dtype=act_dtype)
     ckpt = CheckpointManager(ckpt_dir)
     name = "best" if ckpt.exists("best") else "last"
     tree = ckpt.restore(name)

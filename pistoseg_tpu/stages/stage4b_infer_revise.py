@@ -46,7 +46,8 @@ def infer_stage4b(
     rc = cfg.revise
     n_ch = profile.num_classes + 1
 
-    model = ReviseNet(num_classes=n_ch)
+    act_dtype = jnp.bfloat16 if rc.precision == "bf16" else jnp.float32
+    model = ReviseNet(num_classes=n_ch, dtype=act_dtype)
     ckpt = CheckpointManager(ckpt_dir)
     tree = ckpt.restore("rfm")
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}

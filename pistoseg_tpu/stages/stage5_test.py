@@ -53,7 +53,9 @@ def test_stage5(
     model_name = stored.get("seg", {}).get("model", sc.model)
     encoder = stored.get("seg", {}).get("encoder", sc.encoder)
 
-    model = create_segmentation_model(model_name, encoder, num_classes, sc.decoder_attention)
+    act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
+    model = create_segmentation_model(model_name, encoder, num_classes,
+                                      sc.decoder_attention, dtype=act_dtype)
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
     forward = jax.jit(lambda x: model.apply(variables, x, train=False))

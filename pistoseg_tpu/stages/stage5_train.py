@@ -44,7 +44,9 @@ def train_stage5(
     mesh = stage_mesh(cfg)
     num_classes = profile.num_classes
 
-    model = create_segmentation_model(sc.model, sc.encoder, num_classes, sc.decoder_attention)
+    act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
+    model = create_segmentation_model(sc.model, sc.encoder, num_classes,
+                                      sc.decoder_attention, dtype=act_dtype)
     train_ds = PseudoTrainDataset(
         train_data, mask_dir, profile, sc.patch_size,
         cutmix_prob=sc.cutmix_prob if sc.cutmix else 0.0, seed=cfg.seed,
