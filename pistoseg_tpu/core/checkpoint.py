@@ -70,3 +70,36 @@ class CheckpointManager:
         self.save("last", tree, epoch=epoch, step=step, metric=metric, extra=extra)
         if is_best:
             self.save("best", tree, epoch=epoch, step=step, metric=metric, extra=extra)
+
+    # -- full-state resume (params + batch_stats + optimizer + step) -------
+
+    def save_train_state(self, state, epoch: int, metric: float = float("nan"),
+                         extra: Optional[dict] = None) -> None:
+        """Persist the complete TrainState for exact resume — something the
+        reference never supports (SURVEY.md §5.4)."""
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self.save("train_state", tree, epoch=epoch, step=int(state.step),
+                  metric=metric, extra=extra)
+
+    def restore_train_state(self, state):
+        """Returns (state, next_epoch) with all fields restored."""
+        target = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        tree = self.restore("train_state", target)
+        meta = self.metadata("train_state")
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jax.numpy.asarray(tree["step"]),
+        )
+        return state, int(meta.get("epoch", -1)) + 1

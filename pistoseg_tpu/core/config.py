@@ -48,6 +48,10 @@ class DatasetProfile:
     # ignore_index for stage-2 Dice / stage-5 CE (None = plain loss)
     loss_ignore_index: Optional[int]
     has_background_channel: bool         # WSSS4LUAD computes tissue/bg masks
+    # normalization stats (ImageNet default; GlaS ships its own,
+    # OEEM/classification/configuration_glas.yml)
+    norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
 
 # Palettes: reference `infer_pseudo_masks.py:143-150`
@@ -82,6 +86,22 @@ DATASET_PROFILES = {
         has_background_channel=False,
     ),
 }
+DATASET_PROFILES["glas"] = DatasetProfile(
+    name="glas",
+    num_classes=2,
+    class_names=("GLAND", "NONGLAND"),
+    palette=(64, 128, 0, 0, 64, 128),
+    bg_class=2,
+    label_grammar="digit-string",
+    mosaic_grid=(2, 112),
+    cam_scales=(1.0, 1.25, 1.5, 1.75, 2.0),
+    cam_stride=56,
+    loss_ignore_index=None,
+    has_background_channel=False,
+    norm_mean=(0.787, 0.511, 0.785),
+    norm_std=(0.167, 0.248, 0.131),
+)
+
 # Alias used by parts of the reference ('bcss-wsss')
 DATASET_PROFILES["bcss-wsss"] = DATASET_PROFILES["bcss"]
 

@@ -30,11 +30,18 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def normalize(x: jnp.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    """uint8/float [0,255] (N, H, W, 3) → normalized float32.
+
+    ``mean``/``std`` in [0, 1] units (dataset profiles carry them; GlaS
+    ships its own stats, ``configuration_glas.yml``)."""
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    s = jnp.asarray(std, jnp.float32) * 255.0
+    return (x.astype(jnp.float32) - m) / s
+
+
 def imagenet_normalize(x: jnp.ndarray) -> jnp.ndarray:
-    """uint8/float [0,255] (N, H, W, 3) → normalized float32."""
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    return (x.astype(jnp.float32) - mean) / std
+    return normalize(x)
 
 
 def _reflect101(coord: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -86,6 +93,8 @@ class AugmentConfig(NamedTuple):
     distort_p: float = 0.5
     distort_limit: float = 0.05
     distort_shift: float = 0.05
+    norm_mean: Tuple[float, float, float] = IMAGENET_MEAN
+    norm_std: Tuple[float, float, float] = IMAGENET_STD
 
 
 def _sample_coords(key: jax.Array, in_hw: Tuple[int, int], cfg: AugmentConfig):
@@ -170,13 +179,13 @@ def augment_pair(
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cfg", "normalize"))
+@partial(jax.jit, static_argnames=("cfg", "do_normalize"))
 def augment_batch(
     key: jax.Array,
     images: jnp.ndarray,     # (N, H, W, 3)
     masks: Optional[jnp.ndarray],  # (N, H, W) or None
     cfg: AugmentConfig,
-    normalize: bool = True,
+    do_normalize: bool = True,
 ):
     """vmap'd per-sample augmentation; returns (images_f32, masks).
 
@@ -189,6 +198,6 @@ def augment_batch(
         m = None
     else:
         out, m = jax.vmap(lambda k, im, mk: augment_pair(k, im, mk, cfg))(keys, images, masks)
-    if normalize:
-        out = imagenet_normalize(out)
+    if do_normalize:
+        out = normalize(out, cfg.norm_mean, cfg.norm_std)
     return out, m

@@ -62,6 +62,57 @@ def cam_to_artifact(cam_native: np.ndarray, size: int = 32) -> np.ndarray:
     return np.ascontiguousarray(small.transpose(2, 0, 1))
 
 
+def join_crops_back(
+    cropped_dir: str,
+    origin_dir: str,
+    side_length: int,
+    stride: int,
+    palette: Sequence[int],
+) -> int:
+    """Merge per-crop prediction ``.npy`` files back to full-image palette
+    PNGs (GlaS utility, ``pyutils.py:150-197``): crops named
+    ``{*}_{image}_{index}-*.npy`` in ``online_cut_patches`` order are
+    overlap-added, count-normalized, rounded, and written as
+    ``{image}.png``; the crop files are removed."""
+    import os
+    from pathlib import Path
+
+    from PIL import Image
+
+    from pistoseg_tpu.ops.palette import encode_palette_png
+    from pistoseg_tpu.ops.patches import cut_patch_boxes
+
+    cropped = Path(cropped_dir)
+    by_image: dict = {}
+    crop_files = [p for p in cropped.iterdir() if p.suffix == ".npy"]
+    for p in crop_files:
+        parts = p.name.split("_")
+        image_id = parts[1]
+        index = int(parts[2].split("-")[0])
+        by_image.setdefault(image_id, {})[index] = p
+
+    n_done = 0
+    for origin in sorted(Path(origin_dir).iterdir()):
+        image_id = origin.stem.split("_")[-1]
+        if image_id not in by_image:
+            continue
+        with Image.open(origin) as im:
+            w, h = im.size
+        boxes = cut_patch_boxes(h, w, side_length, stride)
+        value = np.zeros((h, w), np.float64)
+        count = np.zeros((h, w), np.float64)
+        for i, (y, x) in enumerate(boxes):
+            crop = np.load(by_image[image_id][i], allow_pickle=True)
+            value[y : y + side_length, x : x + side_length] += crop
+            count[y : y + side_length, x : x + side_length] += 1
+        merged = np.rint(value / np.maximum(count, 1)).astype(np.uint8)
+        encode_palette_png(merged, palette, cropped / f"{origin.stem}.png")
+        n_done += 1
+    for p in crop_files:
+        os.remove(p)
+    return n_done
+
+
 def cam_argmax_with_label_mask(
     cam: np.ndarray,            # (H, W, C) class scores
     label: Optional[np.ndarray] = None,  # (C,) image-level multilabel

@@ -65,7 +65,7 @@ def build_loss_fn(model, aug_cfg: AugmentConfig):
 
 def generate_cams_for_split(
     model, variables, crop_ds: CropListDataset, num_classes: int,
-    batch_cap: int = 32, use_label_mask: bool = True,
+    batch_cap: int = 32, use_label_mask: bool = True, profile=None,
 ):
     """Yield (stem, native_hw, ensembled CAM (H, W, C), label) per image.
 
@@ -82,9 +82,13 @@ def generate_cams_for_split(
             cams = []
             for k in range(0, len(crops), batch_cap):
                 chunk = jnp.asarray(crops[k : k + batch_cap])
-                from pistoseg_tpu.ops.augment import imagenet_normalize
+                from pistoseg_tpu.ops.augment import normalize as _norm
 
-                cam = forward(imagenet_normalize(chunk))
+                if profile is not None:
+                    chunk = _norm(chunk, profile.norm_mean, profile.norm_std)
+                else:
+                    chunk = _norm(chunk)
+                cam = forward(chunk)
                 cam = resize(cam, (crops.shape[1], crops.shape[2]), method="linear")
                 cams.append(np.asarray(cam, np.float32))
             cams = np.concatenate(cams, 0)
@@ -105,7 +109,7 @@ def validate_cams(model, variables, val_images: str, val_masks: str,
     )
     acc = MIoUAccumulator(profile.num_classes)
     for stem, _hw, cam, label in generate_cams_for_split(
-        model, variables, crop_ds, profile.num_classes
+        model, variables, crop_ds, profile.num_classes, profile=profile
     ):
         pred = cam_argmax_with_label_mask(cam, label)
         gt = decode_palette_png(Path(val_masks) / f"{stem}.png")
@@ -141,7 +145,8 @@ def train_stage0(
     state = jax.device_put(state, jax.devices()[0])
 
     aug_cfg = AugmentConfig(out_size=cc.crop_size, rrc_scale=cc.rrc_scale,
-                            ssr_p=0.0, distort_p=0.0)
+                            ssr_p=0.0, distort_p=0.0,
+                            norm_mean=profile.norm_mean, norm_std=profile.norm_std)
     train_step = make_train_step(build_loss_fn(model, aug_cfg), mesh)
 
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")

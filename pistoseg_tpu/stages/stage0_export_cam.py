@@ -48,7 +48,7 @@ def export_cams(
     out.mkdir(parents=True, exist_ok=True)
     n = 0
     for stem, _hw, cam, _label in generate_cams_for_split(
-        model, variables, crop_ds, profile.num_classes
+        model, variables, crop_ds, profile.num_classes, profile=profile
     ):
         cam = cam / len(profile.cam_scales)  # prepare_seg_inputs.py:134
         np.save(out / f"{stem}.npy", cam_to_artifact(cam, 32))

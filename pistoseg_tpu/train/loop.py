@@ -71,13 +71,13 @@ def make_eval_step(
 
 
 class Trainer:
-    """Minimal epoch loop with best-metric checkpointing.
+    """Minimal epoch loop with best-metric checkpointing and resume.
 
     Mirrors the reference's Lightning scaffold (``ModelCheckpoint`` on
     ``validation_miou_mask_epoch`` max + save_last,
-    ``mosaic_train.py:119-133``) without the framework: the caller
-    provides the data iterator factory, a validation callable returning a
-    scalar metric, and a checkpoint writer.
+    ``mosaic_train.py:119-133``) without the framework — plus what the
+    reference never had (SURVEY.md §5.4: "no mid-epoch resume anywhere"):
+    full-state resume including optimizer state via ``resume_from``.
     """
 
     def __init__(
@@ -90,6 +90,8 @@ class Trainer:
         checkpoint_fn: Optional[Callable[[TrainState, int, float, bool], None]] = None,
         log_fn: Optional[Callable[[Dict], None]] = None,
         rng: Optional[jax.Array] = None,
+        start_epoch: int = 0,
+        items_per_batch: Optional[int] = None,
     ):
         self.train_step = train_step
         self.epochs = epochs
@@ -99,28 +101,41 @@ class Trainer:
         self.checkpoint_fn = checkpoint_fn
         self.log_fn = log_fn or (lambda m: None)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.start_epoch = start_epoch
+        self.items_per_batch = items_per_batch
         self.best_metric = -float("inf")
         self.best_epoch = -1
 
     def fit(self, state: TrainState) -> TrainState:
-        for epoch in range(self.epochs):
+        for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
             n_steps = 0
             loss_sum = 0.0
+            first_step_s = 0.0
             for batch in self.train_iter_fn(epoch):
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
-                self.rng, step_rng = jax.random.split(self.rng)
+                # rng keyed by (epoch, step): identical on resume
+                step_rng = jax.random.fold_in(
+                    jax.random.fold_in(self.rng, epoch), n_steps
+                )
+                ts = time.time()
                 state, metrics = self.train_step(state, batch, step_rng)
-                loss_sum += float(metrics["loss"])
+                loss_sum += float(metrics["loss"])  # scalar fetch = sync
+                if n_steps == 0:
+                    first_step_s = time.time() - ts
                 n_steps += 1
             dt = time.time() - t0
+            steady = max(dt - first_step_s, 1e-9)
             log = {
                 "epoch": epoch,
                 "train_loss": loss_sum / max(n_steps, 1),
                 "steps": n_steps,
                 "epoch_seconds": dt,
+                "compile_seconds": first_step_s,
             }
+            if self.items_per_batch and n_steps > 1:
+                log["items_per_sec"] = self.items_per_batch * (n_steps - 1) / steady
             if self.validate_fn is not None:
                 metric = float(self.validate_fn(state, epoch))
                 log["val_metric"] = metric

@@ -102,3 +102,39 @@ def test_config_profiles_and_overrides():
         cfg.override("mosaic.nope", "1")
     # serialization round-trip sanity
     assert "bcss" in cfg.to_json()
+
+
+def test_glas_profile_and_normalize():
+    import jax.numpy as jnp
+    from pistoseg_tpu.ops.augment import normalize
+
+    p = DATASET_PROFILES["glas"]
+    assert p.num_classes == 2
+    x = np.full((1, 2, 2, 3), 200, np.float32)
+    out = np.asarray(normalize(jnp.asarray(x), p.norm_mean, p.norm_std))
+    ref = (200 / 255.0 - np.array(p.norm_mean)) / np.array(p.norm_std)
+    np.testing.assert_allclose(out[0, 0, 0], ref, rtol=1e-4)
+
+
+def test_join_crops_back(tmp_path):
+    from PIL import Image
+    from pistoseg_tpu.ops.cam import join_crops_back
+    from pistoseg_tpu.ops.palette import decode_palette_png
+    from pistoseg_tpu.ops.patches import cut_patch_boxes
+
+    profile = DATASET_PROFILES["glas"]
+    origin = tmp_path / "imgs"
+    origin.mkdir()
+    h = w = 20
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(origin / "train_7.bmp")
+    crops = tmp_path / "crops"
+    crops.mkdir()
+    boxes = cut_patch_boxes(h, w, 8, 4)
+    full = np.random.RandomState(0).randint(0, 2, (h, w)).astype(np.float64)
+    for i, (y, x) in enumerate(boxes):
+        np.save(crops / f"train_7_{i}-x.npy", full[y : y + 8, x : x + 8])
+    n = join_crops_back(crops, origin, 8, 4, profile.palette)
+    assert n == 1
+    merged = decode_palette_png(crops / "train_7.png")
+    np.testing.assert_array_equal(merged, full.astype(np.uint8))
+    assert not list(crops.glob("*.npy"))       # crop files removed

@@ -156,3 +156,24 @@ def test_confusion_matrix_psum_equivalence():
         for i in range(0, 8, 2)
     )
     np.testing.assert_array_equal(full, parts)
+
+
+def test_f1_score():
+    from pistoseg_tpu.metrics.miou import f1_score
+    pred = np.array([0, 0, 1, 1, 2])
+    gt = np.array([0, 1, 1, 1, 0])
+    f1 = f1_score(pred, gt, 3)
+    # class0: tp=1 fp=1 fn=1 -> 2/4; class1: tp=2 fp=0 fn=1 -> 4/5; class2: tp=0 fp=1 fn=0 -> 0
+    np.testing.assert_allclose(f1, [0.5, 0.8, 0.0])
+
+
+def test_visualize_panel():
+    from pistoseg_tpu.core.visualize import visualize_panel
+    from pistoseg_tpu.core.config import DATASET_PROFILES
+    rng = np.random.RandomState(0)
+    fig = visualize_panel(
+        DATASET_PROFILES["wsss4luad"].palette,
+        image=rng.randint(0, 255, (16, 16, 3), np.uint8),
+        mask=rng.randint(0, 4, (16, 16)),
+    )
+    assert fig is not None

@@ -147,3 +147,47 @@ def test_trainer_best_tracking():
                       tx=optax.identity()))
     assert calls == [(0, 0.3, True), (1, 0.5, True), (2, 0.4, False)]
     assert tr.best_epoch == 1
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    """Full-state save/restore: optimizer momentum survives the roundtrip."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(2)(x)
+
+    model = Tiny()
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((4, 3)), tx)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out = model.apply({"params": params}, batch["x"])
+        return jnp.mean((out - batch["y"]) ** 2), ({}, batch_stats)
+
+    step = make_train_step(loss_fn, None)
+    batch = {"x": jnp.ones((4, 3)), "y": jnp.zeros((4, 2))}
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+
+    cm = CheckpointManager(tmp_path / "ck")
+    cm.save_train_state(state, epoch=1, metric=0.5)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((4, 3)), tx)
+    restored, next_epoch = cm.restore_train_state(fresh)
+    assert next_epoch == 2
+    assert int(restored.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+    # momentum buffers equal too
+    ref_mom = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.opt_state)]
+    got_mom = [np.asarray(l) for l in jax.tree_util.tree_leaves(restored.opt_state)]
+    for a, b in zip(ref_mom, got_mom):
+        np.testing.assert_allclose(a, b)
+    # training continues bit-identically from the restored state
+    s1, m1 = step(state, batch, jax.random.PRNGKey(3))
+    s2, m2 = step(restored, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]))
