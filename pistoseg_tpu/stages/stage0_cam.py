@@ -137,12 +137,9 @@ def train_stage0(
 
     tx = poly_sgd(cc.lr, max_step, cc.poly_power, cc.momentum, cc.weight_decay)
     rng = fold_in_str(root_key(cfg.seed), "stage0")
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        state = create_train_state(
-            model, rng, jnp.zeros((1, cc.crop_size, cc.crop_size, 3)), tx
-        )
-    state = jax.device_put(state, jax.devices()[0])
+    state = create_train_state(
+        model, rng, jnp.zeros((1, cc.crop_size, cc.crop_size, 3)), tx
+    )
 
     aug_cfg = AugmentConfig(out_size=cc.crop_size, rrc_scale=cc.rrc_scale,
                             ssr_p=0.0, distort_p=0.0,

@@ -120,10 +120,7 @@ def train_stage4(
         jnp.zeros((rc.batch_size, 32, 32, n_ch)),
         jnp.zeros((rc.batch_size, 32, 32, n_ch)),
     )
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        state = create_train_state(model, rng, sample, tx)
-    state = jax.device_put(state, jax.devices()[0])
+    state = create_train_state(model, rng, sample, tx)
 
     train_step = make_train_step(
         build_loss_fn(model, s, rc.ecr_topk_frac, rc.precision), mesh

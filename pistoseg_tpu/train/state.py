@@ -38,16 +38,26 @@ def create_train_state(
     sample_input,
     tx: optax.GradientTransformation,
     init_kwargs: Optional[dict] = None,
+    device: Optional[jax.Device] = None,
 ) -> TrainState:
-    """Initialize variables (host/device agnostic) and wrap into TrainState.
+    """Initialize variables and wrap into TrainState.
 
-    ``sample_input`` may be a single array or a tuple of positional args.
+    Initialization always runs jitted on the CPU backend, then the tree is
+    transferred to ``device`` (default: the first accelerator).  Rationale:
+    eager flax init dispatches thousands of tiny ops; through the tunneled
+    TPU backend here that takes tens of minutes, while a single CPU-jitted
+    init + one bulk transfer takes seconds.  ``device_put`` gets an
+    explicit target because it is a no-op for committed arrays otherwise.
     """
     args = sample_input if isinstance(sample_input, tuple) else (sample_input,)
-    variables = model.init(rng, *args, **(init_kwargs or {}))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda r, *a: model.init(r, *a, **(init_kwargs or {})), backend="cpu"
+        )(rng, *args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
-    return TrainState(
+    state = TrainState(
         step=jax.numpy.zeros((), jax.numpy.int32),
         params=params,
         batch_stats=batch_stats,
@@ -55,3 +65,5 @@ def create_train_state(
         apply_fn=model.apply,
         tx=tx,
     )
+    target = device if device is not None else jax.devices()[0]
+    return jax.device_put(state, target)
