@@ -48,10 +48,17 @@ def test_stage5(
     name = "best" if ckpt.exists("best") else "last"
     meta = ckpt.metadata(name)
     stored = meta.get("config", {})
-    # checkpoint's stored model hyperparameters win over stage defaults
-    # (reference merges ckpt hparams then CLI, segmentation_test.py:95-99)
-    model_name = stored.get("seg", {}).get("model", sc.model)
-    encoder = stored.get("seg", {}).get("encoder", sc.encoder)
+    # reference merge order: checkpoint hparams are loaded, then CLI args
+    # overwrite them (segmentation_test.py:95-99) — so the active config
+    # wins; the stored section is informational/fallback only.  The saved
+    # stage name tells us which config section produced the weights.
+    stage = stored.get("mosaic") if meta.get("stage") == "stage2" else stored.get("seg")
+    model_name = sc.model
+    encoder = sc.encoder
+    if stage and sc.model == "unetplusplus" and sc.encoder == "efficientnet-b3":
+        # defaults untouched: adopt the producing stage's architecture
+        model_name = stage.get("model", model_name)
+        encoder = stage.get("encoder", encoder)
 
     act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
     model = create_segmentation_model(model_name, encoder, num_classes,

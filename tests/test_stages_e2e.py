@@ -111,3 +111,45 @@ def test_stage5_train_and_test(pipe, tmp_path):
     pred = decode_palette_png(outs[0])
     assert pred.shape == gt.shape
     np.testing.assert_array_equal(pred[gt == 3], 3)
+
+
+def test_bcss_pipeline_slice(tmp_path):
+    """4-class digit-grammar path: synthesize -> train -> infer -> test."""
+    from pistoseg_tpu.data.mosaic import MosaicSynthesizer
+    from pistoseg_tpu.stages.stage1_split import split_images
+    from pistoseg_tpu.stages.stage2_mosaic import train_stage2
+    from pistoseg_tpu.stages.stage3_infer_pmask import infer_stage3
+    from pistoseg_tpu.stages.stage5_test import test_stage5
+
+    root = tmp_path
+    train = root / "train"
+    make_training_patches(train, "bcss", n_per_class=2, size=64)
+    big = make_big_eval_set(root / "test", "bcss", n_images=2, size=96)
+
+    profile = DATASET_PROFILES["bcss"]
+    synth = MosaicSynthesizer(train, profile, patch_num=2, tile_size=16)
+    mosaic_dir = root / "mosaic"
+    synth.write_range(mosaic_dir, 0, 8)
+
+    cfg = _tiny_cfg()
+    cfg.dataset = "bcss"
+    cfg.seg.encoder = "efficientnet-b0"
+    log_dir = root / "s2"
+    train_stage2(cfg, str(mosaic_dir), val_data=None,
+                 log_dir=str(log_dir), max_steps_per_epoch=2)
+    ckpt_dir = log_dir / "checkpoints"
+
+    r3 = infer_stage3(cfg, str(train), str(ckpt_dir), str(root / "pseudo"), limit=2)
+    assert r3["patches"] == 2
+    arr = np.load(sorted((root / "pseudo" / "logits_32x32").glob("*.npy"))[0])
+    assert arr.shape == (4, 32, 32)               # 4-class artifact
+
+    patches = root / "test_patches"
+    split_images(cfg, big, patches, patch_size=64, stride=32, scales=(1.0,))
+    cfg.seg.patch_size = 64
+    metrics = test_stage5(cfg, str(patches), str(ckpt_dir),
+                          save_dir=str(root / "out"), big_root=str(big))
+    # BCSS branch: per-patch metrics + direct mask save (no stitching)
+    assert "patch_miou" in metrics and "mask_miou" not in metrics
+    outs = sorted((root / "out" / "mask").glob("*.png"))
+    assert len(outs) > 0
