@@ -28,7 +28,10 @@ ITERS = 20
 
 
 def main():
+    from pistoseg_tpu.core.cache import enable_compilation_cache
     from pistoseg_tpu.models.factory import create_segmentation_model
+
+    enable_compilation_cache()
 
     model = create_segmentation_model("UnetPlusPlus", "efficientnet-b0", 3)
 

@@ -22,6 +22,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
+from PIL import Image
 
 from pistoseg_tpu.core.config import DatasetProfile
 from pistoseg_tpu.data.labels import parse_label
@@ -43,8 +44,6 @@ def single_label_sets(train_dir: str | Path, profile: DatasetProfile) -> List[Li
 def write_background_masks(train_dir: str | Path, out_dir: str | Path) -> int:
     """One-time background-mask extraction for all training patches
     (reference ``create_dataset.ipynb`` cell 6)."""
-    from PIL import Image
-
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     n = 0
@@ -107,9 +106,6 @@ class MosaicSynthesizer:
         aug_prob: float = 0.8,
         seed: int = 2022,
     ):
-        from PIL import Image  # lazy; synthesis is offline
-
-        self._Image = Image
         self.profile = profile
         self.patch_num = patch_num or profile.mosaic_grid[0]
         self.tile_size = tile_size or profile.mosaic_grid[1]
@@ -128,11 +124,11 @@ class MosaicSynthesizer:
         return self.patch_num * self.tile_size
 
     def _load_tile(self, path: Path) -> Tuple[np.ndarray, np.ndarray]:
-        img = np.asarray(self._Image.open(path).convert("RGB"), np.uint8)
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
         cls = parse_label(path, self.profile.label_grammar).index(1)
         mask = np.full(img.shape[:2], cls, np.uint8)
         if self.background_dir is not None:
-            bg = np.asarray(self._Image.open(self.background_dir / path.name), np.uint8)
+            bg = np.asarray(Image.open(self.background_dir / path.name), np.uint8)
             mask[bg > 0] = self.profile.bg_class
         return img, mask
 
@@ -185,7 +181,7 @@ class MosaicSynthesizer:
         (out / "mask").mkdir(parents=True, exist_ok=True)
         for i in range(start, stop):
             image, mask = self.synthesize_one(i)
-            self._Image.fromarray(image).save(out / "img" / f"{i}.png")
+            Image.fromarray(image).save(out / "img" / f"{i}.png")
             encode_palette_png(mask, self.profile.palette, out / "mask" / f"{i}.png")
 
     def write_dataset(self, out_dir: str | Path, num_images: int, num_workers: int = 8) -> None:
@@ -193,13 +189,16 @@ class MosaicSynthesizer:
         if num_workers <= 1:
             self.write_range(out_dir, 0, num_images)
             return
+        # spawn (not fork): parent processes typically have jax/XLA state,
+        # and forking after backend init can deadlock
+        ctx = mp.get_context("spawn")
         chunk = (num_images + num_workers - 1) // num_workers
         procs = []
         for k in range(num_workers):
             a, b = k * chunk, min((k + 1) * chunk, num_images)
             if a >= b:
                 break
-            p = mp.Process(target=self.write_range, args=(out_dir, a, b))
+            p = ctx.Process(target=self.write_range, args=(out_dir, a, b))
             p.start()
             procs.append(p)
         for p in procs:

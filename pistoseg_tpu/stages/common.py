@@ -29,6 +29,9 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[Config, Dict[str, s
     config tree; everything else (paths like ``--mosaic_data=...``) is
     returned as a string dict for the stage main.
     """
+    from pistoseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = Config()
     extras: Dict[str, str] = {}
