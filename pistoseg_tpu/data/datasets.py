@@ -257,6 +257,16 @@ class CutMixDataset(ArrayDataset):
                 "name": self.paths[i].name}
 
 
+class OneLabelDataset(CutMixDataset):
+    """Single-label patches as (image, constant-class mask) pairs without
+    mixing — the reference's ``OneLabelDataset`` alternative synthesis
+    (``create_dataset.ipynb`` cell 10).  Equivalent to
+    :class:`CutMixDataset` with the mix disabled."""
+
+    def __init__(self, train_dir, profile, patch_size: int = 224, seed: int = 42):
+        super().__init__(train_dir, profile, patch_size, cutmix_prob=0.0, seed=seed)
+
+
 class EvalPatchDataset(ArrayDataset):
     """Validation/test patches with gt masks (reference
     ``ValidationDataset``/``TestDataset``, ``dataset.py:272-325``):

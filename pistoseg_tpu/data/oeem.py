@@ -44,6 +44,33 @@ class OriginPatchesDataset(ArrayDataset):
         }
 
 
+def cache_validation_crops(
+    image_dir: str | Path,
+    out_dir: str | Path,
+    profile: DatasetProfile,
+    patch_size: int = 224,
+    stride: int = 224,
+) -> int:
+    """One-time crop cache for validation images (reference
+    ``crop_validation_images``, ``pyutils.py:115-147``): writes each crop
+    as ``{stem}_{index}_{y}_{x}.png`` under ``out_dir``."""
+    from PIL import Image
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for p in sorted(Path(image_dir).glob("*.png")):
+        image = load_image(p)
+        h, w = image.shape[:2]
+        from pistoseg_tpu.ops.patches import cut_patch_boxes
+
+        for i, (y, x) in enumerate(cut_patch_boxes(h, w, patch_size, stride)):
+            crop = image[y : y + patch_size, x : x + patch_size]
+            Image.fromarray(crop).save(out / f"{p.stem}_{i}_{y}_{x}.png")
+            n += 1
+    return n
+
+
 class CropListDataset(ArrayDataset):
     """Per-slide multiscale crops with positions for CAM generation.
 

@@ -63,6 +63,25 @@ def iou_from_confusion(cm: np.ndarray) -> Tuple[np.ndarray, float, float]:
     return iou, miou, fwiou
 
 
+def overall_valid_score(
+    pred_dir: str, gt_dir: str, num_classes: int
+) -> float:
+    """mIoU between per-image ``.npy`` predictions and gt palette PNGs
+    (OEEM ``get_overall_valid_score``, ``metric.py:26-86``) — without the
+    reference's racy multiprocess shared-Array accumulation: the confusion
+    matrices are computed on device and summed on host."""
+    from pathlib import Path
+
+    from pistoseg_tpu.ops.palette import decode_palette_png
+
+    acc = MIoUAccumulator(num_classes)
+    for p in sorted(Path(pred_dir).glob("*.npy")):
+        pred = np.load(p, allow_pickle=True)
+        gt = decode_palette_png(Path(gt_dir) / f"{p.stem}.png")
+        acc.add(pred.astype(np.int32), gt)
+    return acc.miou()
+
+
 def f1_score(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> np.ndarray:
     """Per-class F1 over pixels (OEEM ``metric.py:8-23`` capability)."""
     pred = np.asarray(pred).reshape(-1)

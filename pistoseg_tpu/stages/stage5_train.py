@@ -38,6 +38,7 @@ def train_stage5(
     val_big_root: Optional[str] = None,
     log_dir: str = "logs/stage5",
     max_steps_per_epoch: Optional[int] = None,
+    resume: bool = False,
 ) -> Dict:
     profile = cfg.profile
     sc = cfg.seg
@@ -87,6 +88,7 @@ def train_stage5(
         tree = {"params": state.params, "batch_stats": state.batch_stats}
         ckpt.save_best_last(tree, epoch, metric, is_best,
                             extra={"stage": "stage5", "config": cfg.to_dict()})
+        ckpt.save_train_state(state, epoch, metric)
 
     def train_iter(epoch):
         for i, batch in enumerate(loader.epoch(epoch)):
@@ -94,12 +96,22 @@ def train_stage5(
                 break
             yield {k: batch[k] for k in ("image", "mask", "valid")}
 
+    start_epoch = 0
+    if resume and ckpt.exists("train_state"):
+        state, start_epoch = ckpt.restore_train_state(state)
+
     trainer = Trainer(
         train_step, sc.epochs, train_iter, mesh=mesh,
         validate_fn=validate if val_data else None,
         checkpoint_fn=checkpoint, log_fn=lambda m: logger.log(m),
         rng=fold_in_str(root_key(cfg.seed), "stage5/train"),
+        start_epoch=start_epoch,
+        items_per_batch=sc.batch_size,
     )
+    if resume and ckpt.exists("best"):
+        bm = ckpt.metadata("best")
+        trainer.best_metric = bm.get("metric", -float("inf"))
+        trainer.best_epoch = bm.get("epoch", -1)
     trainer.fit(state)
     return {"best_metric": trainer.best_metric, "best_epoch": trainer.best_epoch,
             "checkpoint_dir": str(ckpt.root)}
@@ -117,6 +129,7 @@ def main(argv=None):
         max_steps_per_epoch=(
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
+        resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
     )
 
 
