@@ -187,6 +187,8 @@ class ReviseConfig:
     infer_size: int = 256                # infer_revise_masks.py:46
     ecr_topk_frac: float = 0.2
     precision: str = "bf16"
+    # fused Pallas affinity attention (auto-falls back to XLA off-TPU)
+    use_pallas: bool = True
 
 
 @dataclass

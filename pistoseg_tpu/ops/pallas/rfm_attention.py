@@ -82,6 +82,41 @@ def _rfm_attention_reference(q, k, v):
     return jnp.einsum("nij,nic->njc", p, v, precision=jax.lax.Precision.HIGHEST)
 
 
+# --- differentiable wrapper: Pallas forward, XLA backward -----------------
+#
+# pallas_call has no automatic VJP; training through the fused kernel needs
+# one.  The backward recomputes P = softmax(qᵀk) with XLA (flash-style
+# rematerialization — A never persists in HBM between fwd and bwd) and
+# applies the standard attention gradients.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _rfm_attention_diff(q, k, v, block_j):
+    return _rfm_attention_pallas(q, k, v, block_j, False)
+
+
+def _rfm_fwd(q, k, v, block_j):
+    return _rfm_attention_pallas(q, k, v, block_j, False), (q, k, v)
+
+
+def _rfm_bwd(block_j, residuals, g):
+    q, k, v = residuals
+    hi = jax.lax.Precision.HIGHEST
+    s = jnp.einsum("nid,njd->nij", q, k, precision=hi)
+    p = jax.nn.softmax(s, axis=1)                       # (N, i, j)
+    # out[j, c] = Σ_i p[i, j] v[i, c]
+    dv = jnp.einsum("nij,njc->nic", p, g, precision=hi)
+    dp = jnp.einsum("nic,njc->nij", v, g, precision=hi)
+    # softmax over axis 1 (i): ds = p * (dp − Σ_i p·dp)
+    ds = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))
+    dq = jnp.einsum("nij,njd->nid", ds, k, precision=hi)
+    dk = jnp.einsum("nij,nid->njd", ds, q, precision=hi)
+    return dq, dk, dv
+
+
+_rfm_attention_diff.defvjp(_rfm_fwd, _rfm_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_j", "interpret", "use_pallas"))
 def rfm_attention(
     q: jnp.ndarray,   # (N, L, D)
@@ -91,13 +126,18 @@ def rfm_attention(
     interpret: bool = False,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """out[n, j, c] = Σ_i softmax_i(q_i·k_j) · v[n, i, c]."""
+    """out[n, j, c] = Σ_i softmax_i(q_i·k_j) · v[n, i, c].
+
+    Differentiable: compiled-TPU calls route through a custom VJP
+    (Pallas forward, rematerializing XLA backward)."""
     if not use_pallas or (not interpret and not on_tpu()):
         # off-TPU (and not explicitly interpreting): XLA reference path
         return _rfm_attention_reference(q, k, v)
     l = q.shape[1]
     bj = min(block_j, l)
-    return _rfm_attention_pallas(q, k, v, bj, interpret)
+    if interpret:
+        return _rfm_attention_pallas(q, k, v, bj, interpret)
+    return _rfm_attention_diff(q, k, v, bj)
 
 
 def on_tpu() -> bool:

@@ -47,7 +47,7 @@ def infer_stage4b(
     n_ch = profile.num_classes + 1
 
     act_dtype = jnp.bfloat16 if rc.precision == "bf16" else jnp.float32
-    model = ReviseNet(num_classes=n_ch, dtype=act_dtype)
+    model = ReviseNet(num_classes=n_ch, dtype=act_dtype, use_pallas=rc.use_pallas)
     ckpt = CheckpointManager(ckpt_dir)
     tree = ckpt.restore("rfm")
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
