@@ -189,6 +189,9 @@ class ReviseConfig:
     precision: str = "bf16"
     # fused Pallas affinity attention (auto-falls back to XLA off-TPU)
     use_pallas: bool = True
+    # rematerialize the ResNet38d backbone (trade FLOPs for HBM; enables
+    # larger batches through the 4096-channel blocks)
+    remat: bool = False
 
 
 @dataclass

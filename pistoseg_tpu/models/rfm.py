@@ -57,6 +57,7 @@ class ReviseNet(nn.Module):
     num_classes: int  # including background channel
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize the backbone (memory ↔ FLOPs)
 
     def rfm(self, m: jnp.ndarray, attn: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
         """Refine map ``m`` through affinity ``attn`` (``revise_net.py:90-96``)."""
@@ -78,7 +79,10 @@ class ReviseNet(nn.Module):
         train: bool = False,
     ):
         N, H, W, _ = x.shape
-        d = ResNet38d(b7_dilation=4, dtype=self.dtype, name="backbone")(x, train=train)
+        backbone_cls = (
+            nn.remat(ResNet38d, static_argnums=(2,)) if self.remat else ResNet38d
+        )
+        d = backbone_cls(b7_dilation=4, dtype=self.dtype, name="backbone")(x, train)
 
         conv6 = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train,
                            name="dropout7")(d["conv6"])

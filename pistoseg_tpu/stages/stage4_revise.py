@@ -103,7 +103,8 @@ def train_stage4(
     n_ch = profile.num_classes + 1  # + background channel
 
     act_dtype = jnp.bfloat16 if rc.precision == "bf16" else jnp.float32
-    model = ReviseNet(num_classes=n_ch, dtype=act_dtype, use_pallas=rc.use_pallas)
+    model = ReviseNet(num_classes=n_ch, dtype=act_dtype,
+                      use_pallas=rc.use_pallas, remat=rc.remat)
     ds = RefineDataset(train_data, pmask_dir, cam_dir, profile, rc.train_size)
     loader = BatchLoader(ds, rc.batch_size, shuffle=True, seed=cfg.seed)
     steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
