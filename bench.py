@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PATCHES_PER_SEC = 380.0
-BATCH = 256       # large batch amortizes the per-dispatch relay overhead
+BATCH = 256       # largest batch that fits; amortizes per-dispatch relay overhead
 SIZE = 224
 WARMUP = 2
 ITERS = 20

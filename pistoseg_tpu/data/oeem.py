@@ -13,7 +13,7 @@ Rebuilds ``OEEM/classification/dataset.py:22-87`` (SURVEY.md C20):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

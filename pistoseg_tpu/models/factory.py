@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from pistoseg_tpu.models.unetpp import UnetPlusPlus, DecoderBlock, ConvBNReLU, upsample2x_nearest
+from pistoseg_tpu.models.unetpp import DecoderBlock, UnetPlusPlus
 from pistoseg_tpu.models.efficientnet import EfficientNetEncoder
 
 from typing import Any, Optional, Sequence

@@ -15,12 +15,12 @@ MXU.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pistoseg_tpu.models.efficientnet import EfficientNetEncoder, encoder_out_channels
+from pistoseg_tpu.models.efficientnet import EfficientNetEncoder
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

@@ -5,17 +5,16 @@ from __future__ import annotations
 
 import sys
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pistoseg_tpu.core.config import Config
-from pistoseg_tpu.core.logging import MetricsLogger, console_metric_block
 from pistoseg_tpu.data.labels import parse_patch_name
 from pistoseg_tpu.data.loader import BatchLoader
-from pistoseg_tpu.metrics.miou import MIoUAccumulator, confusion_matrix
+from pistoseg_tpu.metrics.miou import MIoUAccumulator
 from pistoseg_tpu.ops.augment import imagenet_normalize
 from pistoseg_tpu.ops.stitch import CanvasStitcher
 from pistoseg_tpu.ops.tta import d4_forward

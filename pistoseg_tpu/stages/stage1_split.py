@@ -11,7 +11,7 @@ evaluation (``mosaic_module.py:155-158``).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 from PIL import Image

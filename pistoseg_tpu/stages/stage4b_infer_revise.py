@@ -12,7 +12,6 @@ write ``refine/{pmask,pcam,cam}/{name}.png``.
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 from typing import Dict, Optional
 

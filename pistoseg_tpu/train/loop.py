@@ -18,7 +18,6 @@ import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
