@@ -90,16 +90,18 @@ def stitched_validation(
     stitcher = CanvasStitcher(num_classes)
     natives = native_size_map(big_root) if big_root else {}
 
-    def run(images):
-        x = imagenet_normalize(jnp.asarray(images))
-        if tta:
-            return d4_forward(forward_fn, x)
-        return forward_fn(x)
+    # jit the WHOLE per-batch pipeline (normalize + optional d4 views +
+    # softmax): eager jnp ops each cost a relay dispatch on this backend
+    if tta:
+        run = jax.jit(lambda imgs: jax.nn.softmax(
+            d4_forward(forward_fn, imagenet_normalize(imgs)), axis=-1))
+    else:
+        run = jax.jit(lambda imgs: jax.nn.softmax(
+            forward_fn(imagenet_normalize(imgs)), axis=-1))
 
     for batch in patch_loader.epoch(0):
-        logits = np.asarray(run(batch["image"]))
+        probs = np.asarray(run(jnp.asarray(batch["image"])))
         valid = batch["valid"]
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
         pred = probs.argmax(-1)
         for j in range(len(valid)):
             if not valid[j]:

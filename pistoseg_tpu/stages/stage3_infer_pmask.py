@@ -19,6 +19,7 @@ over the batch; only PNG/npy writes stay on host.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from pathlib import Path
 from typing import Dict, Optional
@@ -77,7 +78,14 @@ def infer_stage3(
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
-    forward = jax.jit(lambda x: model.apply(variables, x, train=False))
+    apply_fn = lambda v: model.apply(variables, v, train=False)
+    # one jit over normalize + all 8 d4 views + inversion + mean: the view
+    # construction is pure jnp and must NOT run eagerly (each eager op is a
+    # separate relay dispatch)
+    if cfg.infer.tta:
+        forward_full = jax.jit(lambda imgs: d4_forward(apply_fn, imagenet_normalize(imgs)))
+    else:
+        forward_full = jax.jit(lambda imgs: apply_fn(imagenet_normalize(imgs)))
 
     ds = PatchInferenceDataset(train_data, profile, sc.patch_size)
     if limit is not None:
@@ -89,32 +97,43 @@ def infer_stage3(
     (out / "mask").mkdir(parents=True, exist_ok=True)
     (out / "entropy").mkdir(parents=True, exist_ok=True)
 
+    def emit_one(name_, oh, ow, small_j, entropy_j, pred_j):
+        stem = Path(name_).stem
+        # [C, 32, 32] contract (Appendix B)
+        np.save(out / "logits_32x32" / f"{stem}.npy",
+                np.ascontiguousarray(small_j.transpose(2, 0, 1)))
+        np.save(out / "entropy" / f"{stem}.npy", entropy_j)
+        mask_native = resize_palette_pil(pred_j, (int(oh), int(ow)))
+        encode_palette_png(mask_native, profile.palette, out / "mask" / name_)
+
     n_done = 0
-    for batch in loader.epoch(0):
-        x = imagenet_normalize(jnp.asarray(batch["image"]))
-        logits = d4_forward(forward, x) if cfg.infer.tta else forward(x)
-        small, pred, entropy = emit_outputs(
-            logits,
-            jnp.asarray(batch["label"]),
-            jnp.asarray(batch["tissue"]),
-            logits_size=cfg.infer.logits_size,
-            bg_class=profile.bg_class,
-        )
-        small = np.asarray(small)
-        pred = np.asarray(pred)
-        entropy = np.asarray(entropy)
-        for j, ok in enumerate(batch["valid"]):
-            if not ok:
-                continue
-            stem = Path(batch["name"][j]).stem
-            # [C, 32, 32] contract (Appendix B)
-            np.save(out / "logits_32x32" / f"{stem}.npy",
-                    np.ascontiguousarray(small[j].transpose(2, 0, 1)))
-            np.save(out / "entropy" / f"{stem}.npy", entropy[j])
-            oh, ow = batch["orig_hw"][j]
-            mask_native = resize_palette_pil(pred[j], (int(oh), int(ow)))
-            encode_palette_png(mask_native, profile.palette, out / "mask" / batch["name"][j])
-            n_done += 1
+    futures = []
+    # host emission (palette resize + PNG/npy encode) overlaps the next
+    # batch's device work — it dominated the serial loop
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for batch in loader.epoch(0):
+            logits = forward_full(jnp.asarray(batch["image"]))
+            small, pred, entropy = emit_outputs(
+                logits,
+                jnp.asarray(batch["label"]),
+                jnp.asarray(batch["tissue"]),
+                logits_size=cfg.infer.logits_size,
+                bg_class=profile.bg_class,
+            )
+            small = np.asarray(small)
+            pred = np.asarray(pred)
+            entropy = np.asarray(entropy)
+            for j, ok in enumerate(batch["valid"]):
+                if not ok:
+                    continue
+                oh, ow = batch["orig_hw"][j]
+                futures.append(pool.submit(
+                    emit_one, batch["name"][j], oh, ow,
+                    small[j], entropy[j], pred[j],
+                ))
+                n_done += 1
+        for f in futures:
+            f.result()
     return {"patches": n_done, "checkpoint": name, "out_dir": str(out)}
 
 

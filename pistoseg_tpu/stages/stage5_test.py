@@ -65,7 +65,13 @@ def test_stage5(
                                       sc.decoder_attention, dtype=act_dtype)
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
-    forward = jax.jit(lambda x: model.apply(variables, x, train=False))
+    apply_fn = lambda v: model.apply(variables, v, train=False)
+    if sc.tta:
+        forward_full = jax.jit(lambda imgs: jax.nn.softmax(
+            d4_forward(apply_fn, imagenet_normalize(imgs)), axis=-1))
+    else:
+        forward_full = jax.jit(lambda imgs: jax.nn.softmax(
+            apply_fn(imagenet_normalize(imgs)), axis=-1))
 
     big_root = big_root or str(Path(test_data).parent)
     natives = native_size_map(big_root)
@@ -76,9 +82,7 @@ def test_stage5(
     bcss_outputs = []
 
     for batch in loader.epoch(0):
-        x = imagenet_normalize(jnp.asarray(batch["image"]))
-        logits = d4_forward(forward, x) if sc.tta else forward(x)
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        probs = np.asarray(forward_full(jnp.asarray(batch["image"])))
         pred = probs.argmax(-1).astype(np.uint8)
         for j, ok in enumerate(batch["valid"]):
             if not ok:
