@@ -66,7 +66,8 @@ def native_size_map(eval_root: str | Path) -> Dict[str, Tuple[int, int]]:
 
 
 def stitched_validation(
-    forward_fn,
+    apply_fn,
+    variables,
     patch_loader: BatchLoader,
     num_classes: int,
     big_root: Optional[str | Path],
@@ -81,8 +82,10 @@ def stitched_validation(
     * per-(slide, scale) softmax canvases → scale merge → big-mask mIoU
       against ``{big_root}/mask/{idx}.png``.
 
-    ``forward_fn(images_f32_normalized) -> logits`` must be jitted by the
-    caller; TTA wraps it in the d4 view batch.
+    ``apply_fn(variables, images_normalized) -> logits``.  The whole
+    per-batch pipeline (normalize + optional d4 views + softmax) runs as
+    ONE jitted program, with ``variables`` as an argument — never closed
+    over (weights-as-constants overflow the remote compile service).
     """
     from pistoseg_tpu.ops.palette import decode_palette_png
 
@@ -90,17 +93,15 @@ def stitched_validation(
     stitcher = CanvasStitcher(num_classes)
     natives = native_size_map(big_root) if big_root else {}
 
-    # jit the WHOLE per-batch pipeline (normalize + optional d4 views +
-    # softmax): eager jnp ops each cost a relay dispatch on this backend
     if tta:
-        run = jax.jit(lambda imgs: jax.nn.softmax(
-            d4_forward(forward_fn, imagenet_normalize(imgs)), axis=-1))
+        run = jax.jit(lambda v, imgs: jax.nn.softmax(d4_forward(
+            lambda b: apply_fn(v, b), imagenet_normalize(imgs)), axis=-1))
     else:
-        run = jax.jit(lambda imgs: jax.nn.softmax(
-            forward_fn(imagenet_normalize(imgs)), axis=-1))
+        run = jax.jit(lambda v, imgs: jax.nn.softmax(
+            apply_fn(v, imagenet_normalize(imgs)), axis=-1))
 
     for batch in patch_loader.epoch(0):
-        probs = np.asarray(run(jnp.asarray(batch["image"])))
+        probs = np.asarray(run(variables, jnp.asarray(batch["image"])))
         valid = batch["valid"]
         pred = probs.argmax(-1)
         for j in range(len(valid)):

@@ -73,7 +73,19 @@ def generate_cams_for_split(
     forward → bilinear to crop size → overlap-add → normalize → resize to
     native → sum over scales.
     """
-    forward = jax.jit(lambda x: model.apply(variables, x, train=False)["cam"])
+    from pistoseg_tpu.ops.augment import normalize as _norm
+
+    mean = profile.norm_mean if profile is not None else (0.485, 0.456, 0.406)
+    std = profile.norm_std if profile is not None else (0.229, 0.224, 0.225)
+    # normalize fused into the forward; crop chunks padded to batch_cap so
+    # exactly ONE shape ever compiles (ragged tails would otherwise trigger
+    # a recompilation storm, SURVEY.md §7.3-5)
+    # variables passed as an ARGUMENT: closing over them would embed the
+    # full parameter tree as constants in the compiled program (the remote
+    # compile service rejects >100MB request bodies)
+    forward = jax.jit(
+        lambda v, x: model.apply(v, _norm(x, mean, std), train=False)["cam"]
+    )
     for i in range(len(crop_ds)):
         item = crop_ds[i]
         scale_canvases = []
@@ -81,16 +93,14 @@ def generate_cams_for_split(
             crops = sc["crops"]
             cams = []
             for k in range(0, len(crops), batch_cap):
-                chunk = jnp.asarray(crops[k : k + batch_cap])
-                from pistoseg_tpu.ops.augment import normalize as _norm
-
-                if profile is not None:
-                    chunk = _norm(chunk, profile.norm_mean, profile.norm_std)
-                else:
-                    chunk = _norm(chunk)
-                cam = forward(chunk)
+                chunk = crops[k : k + batch_cap]
+                n_real = len(chunk)
+                if n_real < batch_cap:
+                    pad = np.repeat(chunk[-1:], batch_cap - n_real, axis=0)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                cam = forward(variables, jnp.asarray(chunk))
                 cam = resize(cam, (crops.shape[1], crops.shape[2]), method="linear")
-                cams.append(np.asarray(cam, np.float32))
+                cams.append(np.asarray(cam, np.float32)[:n_real])
             cams = np.concatenate(cams, 0)
             canvas = accumulate_scale_cam(
                 jnp.asarray(cams), jnp.asarray(sc["ys"]), jnp.asarray(sc["xs"]),

@@ -53,6 +53,15 @@ def export_cams(
         cam = cam / len(profile.cam_scales)  # prepare_seg_inputs.py:134
         np.save(out / f"{stem}.npy", cam_to_artifact(cam, 32))
         n += 1
+
+    from pistoseg_tpu.core.manifest import hash_tree, write_manifest
+
+    write_manifest(
+        out, "stage0_export",
+        inputs={"train_data": hash_tree(train_data, "*.png", limit=256)},
+        config=cfg.to_dict(),
+        outputs={"cams": n},
+    )
     return {"cams": n, "out_dir": str(out), "checkpoint": name}
 
 

@@ -35,7 +35,7 @@ from pistoseg_tpu.losses.segmentation import cross_entropy_loss, dice_loss
 from pistoseg_tpu.models.factory import create_segmentation_model
 from pistoseg_tpu.ops.augment import AugmentConfig, augment_batch
 from pistoseg_tpu.stages.common import parse_cli, stage_mesh, stitched_validation
-from pistoseg_tpu.train.loop import Trainer, make_eval_step, make_train_step
+from pistoseg_tpu.train.loop import Trainer, make_train_step
 from pistoseg_tpu.train.optim import adamw_exponential
 from pistoseg_tpu.train.state import create_train_state
 
@@ -122,13 +122,8 @@ def train_stage2(
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
     logger = MetricsLogger(log_dir, "stage2")
 
-    eval_step = make_eval_step(
-        lambda variables, x: model.apply(variables, x, train=False), mesh=None
-    )
-
-    def forward(state):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return lambda x: eval_step(variables, x)
+    def apply_eval(v, x):
+        return model.apply(v, x, train=False)
 
     def validate(state, epoch):
         if val_data is None:
@@ -136,8 +131,9 @@ def train_stage2(
         val_loader = BatchLoader(
             EvalPatchDataset(val_data, sc.patch_size), cfg.infer.batch_size
         )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
         metrics = stitched_validation(
-            forward(state), val_loader, num_classes, val_big_root,
+            apply_eval, variables, val_loader, num_classes, val_big_root,
             tta=False, patch_size=sc.patch_size,
         )
         console_metric_block(f"Stage-2 validation (epoch {epoch})", metrics)
@@ -181,8 +177,9 @@ def train_stage2(
         tree = ckpt.restore("best", {"params": state.params, "batch_stats": state.batch_stats})
         best_state = state.replace(params=tree["params"], batch_stats=tree["batch_stats"])
         val_loader = BatchLoader(EvalPatchDataset(val_data, sc.patch_size), cfg.infer.batch_size)
+        best_vars = {"params": best_state.params, "batch_stats": best_state.batch_stats}
         metrics = stitched_validation(
-            forward(best_state), val_loader, num_classes, val_big_root,
+            apply_eval, best_vars, val_loader, num_classes, val_big_root,
             tta=True, patch_size=sc.patch_size,
         )
         console_metric_block("Stage-2 best + d4 TTA", metrics)

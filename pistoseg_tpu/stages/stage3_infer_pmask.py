@@ -78,14 +78,15 @@ def infer_stage3(
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
-    apply_fn = lambda v: model.apply(variables, v, train=False)
-    # one jit over normalize + all 8 d4 views + inversion + mean: the view
-    # construction is pure jnp and must NOT run eagerly (each eager op is a
-    # separate relay dispatch)
+    # one jit over normalize + all 8 d4 views + inversion + mean (eager view
+    # ops each cost a relay dispatch); variables passed as an ARGUMENT so
+    # the weights aren't baked into the program as constants
     if cfg.infer.tta:
-        forward_full = jax.jit(lambda imgs: d4_forward(apply_fn, imagenet_normalize(imgs)))
+        forward_full = jax.jit(lambda v, imgs: d4_forward(
+            lambda b: model.apply(v, b, train=False), imagenet_normalize(imgs)))
     else:
-        forward_full = jax.jit(lambda imgs: apply_fn(imagenet_normalize(imgs)))
+        forward_full = jax.jit(lambda v, imgs: model.apply(
+            v, imagenet_normalize(imgs), train=False))
 
     ds = PatchInferenceDataset(train_data, profile, sc.patch_size)
     if limit is not None:
@@ -112,7 +113,7 @@ def infer_stage3(
     # batch's device work — it dominated the serial loop
     with ThreadPoolExecutor(max_workers=8) as pool:
         for batch in loader.epoch(0):
-            logits = forward_full(jnp.asarray(batch["image"]))
+            logits = forward_full(variables, jnp.asarray(batch["image"]))
             small, pred, entropy = emit_outputs(
                 logits,
                 jnp.asarray(batch["label"]),
@@ -134,6 +135,16 @@ def infer_stage3(
                 n_done += 1
         for f in futures:
             f.result()
+
+    from pistoseg_tpu.core.manifest import hash_tree, write_manifest
+
+    write_manifest(
+        out, "stage3",
+        inputs={"train_data": hash_tree(train_data, "*.png", limit=256),
+                "checkpoint": hash_tree(Path(ckpt_dir) / f"{name}.meta.json")},
+        config=cfg.to_dict(),
+        outputs={"patches": n_done},
+    )
     return {"patches": n_done, "checkpoint": name, "out_dir": str(out)}
 
 

@@ -52,8 +52,8 @@ def infer_stage4b(
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
     @jax.jit
-    def forward(x, pmask, pcam, label):
-        _, cam_rv, pmask_rv, pcam_rv = model.apply(variables, x, pmask, pcam, train=False)
+    def forward(v, x, pmask, pcam, label):
+        _, cam_rv, pmask_rv, pcam_rv = model.apply(v, x, pmask, pcam, train=False)
         lbl = label[:, None, None, :]
         preds = []
         for m in (pmask_rv, pcam_rv, cam_rv):
@@ -76,7 +76,7 @@ def infer_stage4b(
     for batch in loader.epoch(0):
         pmask, pcam, label = prepare_batch(batch)
         x = imagenet_normalize(jnp.asarray(batch["image"]))
-        preds = [np.asarray(p) for p in forward(x, pmask, pcam, label)]
+        preds = [np.asarray(p) for p in forward(variables, x, pmask, pcam, label)]
         for j, ok in enumerate(batch["valid"]):
             if not ok:
                 continue
@@ -90,6 +90,17 @@ def infer_stage4b(
                     mask[bg > 0] = profile.bg_class
                 encode_palette_png(mask, profile.palette, out / sub / name)
             n_done += 1
+
+    from pistoseg_tpu.core.manifest import hash_tree, write_manifest
+
+    write_manifest(
+        out, "stage4b",
+        inputs={"train_data": hash_tree(train_data, "*.png", limit=256),
+                "pmask": hash_tree(pmask_dir, "*.npy", limit=256),
+                "cam": hash_tree(cam_dir, "*.npy", limit=256)},
+        config=cfg.to_dict(),
+        outputs={"patches": n_done},
+    )
     return {"patches": n_done, "out_dir": str(out)}
 
 

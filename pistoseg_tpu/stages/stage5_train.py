@@ -25,7 +25,7 @@ from pistoseg_tpu.models.factory import create_segmentation_model
 from pistoseg_tpu.ops.augment import AugmentConfig
 from pistoseg_tpu.stages.common import parse_cli, stage_mesh, stitched_validation
 from pistoseg_tpu.stages.stage2_mosaic import build_loss_fn
-from pistoseg_tpu.train.loop import Trainer, make_eval_step, make_train_step
+from pistoseg_tpu.train.loop import Trainer, make_train_step
 from pistoseg_tpu.train.optim import adamw_exponential
 from pistoseg_tpu.train.state import create_train_state
 
@@ -66,18 +66,16 @@ def train_stage5(
 
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
     logger = MetricsLogger(log_dir, "stage5")
-    eval_step = make_eval_step(lambda v, x: model.apply(v, x, train=False), mesh=None)
-
-    def forward(state):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return lambda x: eval_step(variables, x)
+    def apply_eval(v, x):
+        return model.apply(v, x, train=False)
 
     def validate(state, epoch):
         if val_data is None:
             return 0.0
         val_loader = BatchLoader(EvalPatchDataset(val_data, sc.patch_size), cfg.infer.batch_size)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
         metrics = stitched_validation(
-            forward(state), val_loader, num_classes, val_big_root,
+            apply_eval, variables, val_loader, num_classes, val_big_root,
             patch_size=sc.patch_size,
         )
         console_metric_block(f"Stage-5 validation (epoch {epoch})", metrics)
