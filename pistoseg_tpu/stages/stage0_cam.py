@@ -98,9 +98,16 @@ def generate_cams_for_split(
                 if n_real < batch_cap:
                     pad = np.repeat(chunk[-1:], batch_cap - n_real, axis=0)
                     chunk = np.concatenate([chunk, pad], axis=0)
-                cam = forward(variables, jnp.asarray(chunk))
-                cam = resize(cam, (crops.shape[1], crops.shape[2]), method="linear")
-                cams.append(np.asarray(cam, np.float32)[:n_real])
+                chunk_dev = jnp.asarray(chunk)
+                cam_dev = forward(variables, chunk_dev)
+                cam_dev = resize(cam_dev, (crops.shape[1], crops.shape[2]),
+                                 method="linear")
+                cams.append(np.asarray(cam_dev, np.float32)[:n_real])
+                # free device + staging buffers eagerly: the tunneled
+                # backend leaks per-transfer host buffers if left to GC
+                # (observed ~2 GB/image growth in long CAM exports)
+                chunk_dev.delete()
+                cam_dev.delete()
             cams = np.concatenate(cams, 0)
             canvas = accumulate_scale_cam(
                 jnp.asarray(cams), jnp.asarray(sc["ys"]), jnp.asarray(sc["xs"]),
