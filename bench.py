@@ -1,11 +1,16 @@
-"""Benchmark: stage-3-style 224×224 patch inference throughput on TPU.
+"""Benchmark: flagship TPU throughput numbers for the driver.
 
-Measures the flagship path — UNet++/EfficientNet-b0 forward (the stage-2/3
-workhorse) in bfloat16 at batch 64 — as end-to-end device throughput with
-inputs pre-staged in HBM and fully pipelined dispatch (one sync at the
-end), matching how the stage-3 inference loop runs.
+Measures three paths on the real chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``unetpp_b0_224_infer`` — the stage-3 workhorse (UNet++/EfficientNet-b0
+  forward, bf16, batch 256), the headline metric;
+* ``stage2_train_step`` — full stage-2 training step (device augmentation
+  + bf16 fwd/bwd + AdamW update, donated state) at batch 64;
+* ``stage4_train_step`` — ReviseNet (ResNet38d+RFM) training step at the
+  reference shapes (224², batch 16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline, with the other paths + an MFU estimate under "extras".
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 ``BASELINE_PATCHES_PER_SEC`` is our measured-equivalent estimate for the
@@ -21,66 +26,204 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PATCHES_PER_SEC = 380.0
-BATCH = 256       # largest batch that fits; amortizes per-dispatch relay overhead
 SIZE = 224
-WARMUP = 2
-ITERS = 20
+
+# bf16 peak FLOP/s per chip by device kind (for the MFU estimate)
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
 
-def main():
-    from pistoseg_tpu.core.cache import enable_compilation_cache
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_TFLOPS.items():
+        if name.lower() in kind.lower():
+            return peak
+    return 197.0  # assume v5e-class
+
+
+def _timed(scalar_fn, *args, iters=20, warmup=2):
+    """Pipelined dispatch of a scalar-returning jit; one scalar fetch at the
+    end is the completion barrier (block_until_ready returns early through
+    the axon relay)."""
+    out = None
+    for _ in range(warmup):
+        out = scalar_fn(*args)
+    float(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = scalar_fn(*args)
+    float(out)  # device executes in submission order: all iters are done
+    return (time.perf_counter() - t0) / iters
+
+
+def _flops_of(jitted, *args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_infer():
     from pistoseg_tpu.models.factory import create_segmentation_model
 
-    enable_compilation_cache()
-
-    model = create_segmentation_model("UnetPlusPlus", "efficientnet-b0", 3)
-
-    # init on CPU (eager init through the device tunnel is pathologically
-    # slow); transfer the param tree once.
+    batch = 256
+    model = create_segmentation_model("UnetPlusPlus", "efficientnet-b0", 3,
+                                      dtype=jnp.bfloat16)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = jax.jit(model.init, backend="cpu")(
             jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
         )
-    # explicit target device: device_put without one is a NO-OP for arrays
-    # already committed (here: committed to CPU by the cpu-backend init),
-    # which would silently re-transfer the whole tree every step.
     variables = jax.device_put(variables, jax.devices()[0])
 
     @jax.jit
-    def forward(variables, x):
-        out = model.apply(variables, x, train=False)
-        # reduce to a scalar inside the jit: the caller's fetch of this
-        # value is the completion barrier (block_until_ready returns
-        # early through the axon relay) without a bulk readback
+    def forward(v, x):
+        out = model.apply(v, x, train=False)
         return jnp.sum(out[0, 0, 0])
 
-    x = jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, SIZE, SIZE, 3), jnp.bfloat16)
+    float(forward(variables, x))  # compile
+    dt = _timed(forward, variables, x)
+    flops = _flops_of(forward, variables, x)
+    return {
+        "patches_per_sec": batch / dt,
+        "step_ms": 1000.0 * dt,
+        "mfu": (flops / dt) / (_peak_tflops() * 1e12) if flops else None,
+        "batch": batch,
+    }
+
+
+def bench_stage2_train():
+    from pistoseg_tpu.core.config import Config
+    from pistoseg_tpu.ops.augment import AugmentConfig
+    from pistoseg_tpu.models.factory import create_segmentation_model
+    from pistoseg_tpu.stages.stage2_mosaic import build_loss_fn
+    from pistoseg_tpu.train.loop import make_train_step
+    from pistoseg_tpu.train.optim import adamw_exponential
+    from pistoseg_tpu.train.state import create_train_state
+
+    batch = 64
+    cfg = Config()
+    profile = cfg.profile
+    sc = cfg.mosaic
+    model = create_segmentation_model(sc.model, sc.encoder, profile.num_classes,
+                                      sc.decoder_attention, dtype=jnp.bfloat16)
+    tx = adamw_exponential(sc.lr, sc.weight_decay, sc.lr_decay, 100)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((batch, SIZE, SIZE, 3), jnp.bfloat16), tx,
     )
+    aug_cfg = AugmentConfig(out_size=SIZE, rrc_scale=(0.9, 1.0))
+    step = make_train_step(build_loss_fn(model, profile, sc, aug_cfg))
 
-    float(forward(variables, x))           # compile
-    for _ in range(WARMUP):
-        out = forward(variables, x)
-    float(out)
+    rs = np.random.RandomState(0)
+    dev = jax.devices()[0]
+    batch_data = {
+        "image": jax.device_put(jnp.asarray(rs.rand(batch, SIZE, SIZE, 3), jnp.float32), dev),
+        "mask": jax.device_put(jnp.asarray(rs.randint(0, 4, (batch, SIZE, SIZE)), jnp.int32), dev),
+        "valid": jax.device_put(jnp.ones((batch,), bool), dev),
+    }
+    rng = jax.random.PRNGKey(1)
 
+    def run(state):
+        s, m = step(state, batch_data, rng)
+        return s, m
+
+    # donated state: thread it through the loop
+    state, m = run(state)
+    float(m["loss"])  # compile barrier
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, x)
-    float(out)  # device executes in submission order: all ITERS are done
-    dt = time.perf_counter() - t0
+    iters = 10
+    for _ in range(iters):
+        state, m = run(state)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch}
 
-    patches_per_sec = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "unetpp_b0_224_infer_throughput",
-                "value": round(patches_per_sec, 1),
-                "unit": "patches/sec/chip",
-                "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 2),
-            }
-        )
+
+def bench_stage4_train():
+    from pistoseg_tpu.core.config import Config
+    from pistoseg_tpu.models.rfm import ReviseNet
+    from pistoseg_tpu.stages.stage4_revise import build_loss_fn
+    from pistoseg_tpu.train.loop import make_train_step
+    from pistoseg_tpu.train.optim import (
+        RFM_MULTIPLIERS, poly_sgd_grouped, rfm_group_fn,
     )
+    from pistoseg_tpu.train.state import create_train_state
+
+    batch = 16
+    cfg = Config()
+    n_ch = cfg.profile.num_classes + 1
+    model = ReviseNet(num_classes=n_ch, dtype=jnp.bfloat16, use_pallas=True)
+    tx = poly_sgd_grouped(1e-3, 1000, rfm_group_fn, RFM_MULTIPLIERS)
+    sample = (
+        jnp.zeros((batch, SIZE, SIZE, 3)),
+        jnp.zeros((batch, 32, 32, n_ch)),
+        jnp.zeros((batch, 32, 32, n_ch)),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), sample, tx)
+    step = make_train_step(build_loss_fn(model, SIZE, 0.2, "bf16"))
+
+    rs = np.random.RandomState(0)
+    dev = jax.devices()[0]
+    batch_data = {
+        "image": jax.device_put(jnp.asarray(rs.rand(batch, SIZE, SIZE, 3), jnp.float32), dev),
+        "pmask": jax.device_put(jnp.asarray(rs.randn(batch, 32, 32, n_ch - 1), jnp.float32), dev),
+        "cam": jax.device_put(jnp.asarray(rs.rand(batch, 32, 32, n_ch - 1), jnp.float32), dev),
+        "label": jax.device_put(jnp.ones((batch, n_ch - 1), jnp.float32), dev),
+        "valid": jax.device_put(jnp.ones((batch,), bool), dev),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    state, m = step(state, batch_data, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, m = step(state, batch_data, rng)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch}
+
+
+def main():
+    from pistoseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    infer = bench_infer()
+    extras = {"infer_mfu": infer["mfu"], "infer_step_ms": infer["step_ms"]}
+    try:
+        s2 = bench_stage2_train()
+        extras["stage2_train_images_per_sec"] = round(s2["images_per_sec"], 1)
+        extras["stage2_train_step_ms"] = round(s2["step_ms"], 1)
+    except Exception as e:  # keep the headline even if a train bench dies
+        extras["stage2_train_error"] = repr(e)[:200]
+    try:
+        s4 = bench_stage4_train()
+        extras["stage4_train_images_per_sec"] = round(s4["images_per_sec"], 1)
+        extras["stage4_train_step_ms"] = round(s4["step_ms"], 1)
+    except Exception as e:
+        extras["stage4_train_error"] = repr(e)[:200]
+
+    value = round(infer["patches_per_sec"], 1)
+    print(json.dumps({
+        "metric": "unetpp_b0_224_infer_throughput",
+        "value": value,
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 2),
+        "extras": {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in extras.items() if v is not None},
+    }))
 
 
 if __name__ == "__main__":

@@ -181,9 +181,9 @@ int32_t shard_gather(void* handle, const int64_t* indices, int64_t n,
   }
   pthread_t threads[64];
   GatherTask tasks[64];
+  bool created[64] = {false};
   if (n_threads > 64) n_threads = 64;
   const int64_t chunk = (n + n_threads - 1) / n_threads;
-  int32_t spawned = 0;
   for (int32_t k = 0; k < n_threads; ++k) {
     const int64_t b = k * chunk;
     const int64_t e = b + chunk < n ? b + chunk : n;
@@ -194,9 +194,14 @@ int32_t shard_gather(void* handle, const int64_t* indices, int64_t n,
       gather_worker(&tasks[k]);
       continue;
     }
-    ++spawned;
+    created[k] = true;
   }
-  for (int32_t k = 0; k < spawned; ++k) pthread_join(threads[k], nullptr);
+  // join by created-slot index: a failed create in the middle must not
+  // shift which pthread_t slots are joined (joining a never-created slot
+  // is UB)
+  for (int32_t k = 0; k < n_threads; ++k) {
+    if (created[k]) pthread_join(threads[k], nullptr);
+  }
   return 0;
 }
 

@@ -14,7 +14,7 @@ import dataclasses
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, ClassVar, Optional, Sequence, Tuple
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +226,13 @@ class Config:
     )
     infer: InferConfig = field(default_factory=InferConfig)
 
+    # set of dotted keys the user explicitly set on the CLI (ClassVar so it
+    # is NOT a dataclass field — excluded from to_dict/serialization; an
+    # instance assignment shadows it).  Lets consumers distinguish "user
+    # asked for the default" from "user said nothing" (stage5_test
+    # checkpoint-arch adoption).
+    cli_overridden: ClassVar[frozenset] = frozenset()
+
     @property
     def profile(self) -> DatasetProfile:
         return DATASET_PROFILES[self.dataset]
@@ -250,6 +257,7 @@ class Config:
     def from_args(cls, argv: Sequence[str]) -> "Config":
         """Parse ``--a.b=c`` style overrides (plus ``--dataset=...``)."""
         cfg = cls()
+        overridden = set()
         for arg in argv:
             if not arg.startswith("--"):
                 raise ValueError(f"unrecognized argument: {arg}")
@@ -257,9 +265,12 @@ class Config:
             if "=" not in body:
                 raise ValueError(f"expected --key=value, got: {arg}")
             key, value = body.split("=", 1)
-            cfg.override(key.replace("-", "_"), value)
+            key = key.replace("-", "_")
+            cfg.override(key, value)
+            overridden.add(key)
         if cfg.dataset not in DATASET_PROFILES:
             raise ValueError(f"unknown dataset: {cfg.dataset}")
+        cfg.cli_overridden = frozenset(overridden)
         return cfg
 
     def to_dict(self) -> dict:

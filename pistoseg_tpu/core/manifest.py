@@ -85,3 +85,63 @@ def stage_is_current(
     if doc is None or doc.get("stage") != stage:
         return False
     return doc.get("inputs") == inputs and doc.get("config_hash") == hash_config(config)
+
+
+class StaleArtifactError(RuntimeError):
+    """An upstream artifact directory has no (or the wrong) completion
+    manifest — the producing stage crashed or was never run."""
+
+
+def check_upstream(
+    path: str | Path, expected_stage: str, *, what: str = "", trust: bool = False
+) -> Optional[Dict]:
+    """Verify an input directory was produced by a *completed* run of
+    ``expected_stage`` (the manifest is written only after the stage
+    finishes, so it doubles as a commit marker — SURVEY.md §5.3: the
+    reference's ``run.sh`` lets crashed stages feed stale artifacts into
+    later ones).
+
+    Looks for ``manifest.json`` in ``path`` and then one level up (stages
+    write the manifest at their output root; consumers often point at a
+    subdirectory like ``logits_32x32/`` or ``refine/cam/``).
+
+    ``trust=True`` (stage CLIs: ``--trust_inputs=true``) downgrades a
+    missing manifest to a warning, for artifacts produced outside this
+    framework (e.g. the reference's released CAMs).
+    """
+    label = what or str(path)
+    p = Path(path)
+    doc = read_manifest(p)
+    hops = 0
+    while doc is None and hops < 2 and p.parent != p:
+        p = p.parent
+        doc = read_manifest(p)
+        hops += 1
+    if doc is None:
+        if trust:
+            print(f"[manifest] {label}: no manifest.json (trusted by flag)")
+            return None
+        raise StaleArtifactError(
+            f"{label}: no manifest.json at or above {path} — the producing "
+            f"stage ({expected_stage}) did not complete. Re-run it, or pass "
+            f"--trust_inputs=true for externally produced artifacts."
+        )
+    if doc.get("stage") != expected_stage:
+        raise StaleArtifactError(
+            f"{label}: manifest says stage '{doc.get('stage')}', expected "
+            f"'{expected_stage}' — wrong directory wiring?"
+        )
+    return doc
+
+
+def skip_if_current(
+    out_dir: str | Path, stage: str, inputs: Dict[str, str], config: Dict
+) -> bool:
+    """Producer-side idempotence: True (with a log line) when ``out_dir``
+    already holds this stage's outputs for identical inputs + config."""
+    if stage_is_current(out_dir, stage, inputs, config):
+        doc = read_manifest(out_dir) or {}
+        print(f"[manifest] {stage}: outputs in {out_dir} are current "
+              f"({doc.get('outputs', {})}) — skipping")
+        return True
+    return False

@@ -33,3 +33,23 @@ def visualize_panel(palette: Sequence[int], **images):
         ax.set_yticks([])
     fig.tight_layout()
     return fig
+
+
+def panel_to_array(fig) -> np.ndarray:
+    """Rasterize a panel figure to (H, W, 3) uint8 (for TB image logging)."""
+    fig.canvas.draw()
+    arr = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return arr
+
+
+def validation_panel(palette, image, gt_mask, pred_mask) -> np.ndarray:
+    """The reference's per-epoch TB panel (``mosaic_module.py:271-277``):
+    input image, ground-truth mask, prediction — as one uint8 array."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0 if img.max() <= 1.5 else img, 0, 255).astype(np.uint8)
+    fig = visualize_panel(palette, image=img, gt_mask=gt_mask, pred_mask=pred_mask)
+    return panel_to_array(fig)

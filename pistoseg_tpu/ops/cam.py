@@ -48,7 +48,10 @@ def ensemble_scales(
     scale_canvases: Sequence[np.ndarray],  # each (h_s, w_s, C), normalized
     native_hw: Tuple[int, int],
 ) -> np.ndarray:
-    """Resize each scale canvas to native size and average."""
+    """Resize each scale canvas to native size and average.
+
+    The /len(scales) here IS the exporter's division
+    (``prepare_seg_inputs.py:134``) — callers must not divide again."""
     acc = np.zeros(native_hw + (scale_canvases[0].shape[-1],), np.float32)
     for c in scale_canvases:
         acc += np.asarray(resize(jnp.asarray(c, jnp.float32), native_hw, "linear"))

@@ -5,14 +5,18 @@ canvases on the host, normalizes by a hit-count canvas, bilinearly resizes
 each scale canvas to native size, and averages across scales
 (``mosaic_module.py:137-199``, ``segmentation_test.py:160-199``,
 ``generate_CAM.py:76-87``).  That host loop is a major bottleneck —
-GPU→CPU sync per patch.
+GPU→CPU sync + per-patch ``+=`` for every patch of every epoch.
 
 TPU-first version: patches of one slide are the "sequence" dimension
-(SURVEY.md §5.7).  ``stitch_canvas`` runs fully on device under ``jit``
-with static shapes: a ``lax.scan`` over patches doing
-``dynamic_slice → add → dynamic_update_slice`` on both a value canvas and a
-count canvas.  Slides are bucketed by padded canvas size by the caller
-(``CanvasStitcher``) to avoid recompilation storms.
+(SURVEY.md §5.7).  ``stitch_canvas`` / ``stitch_canvas_masked`` run fully
+on device under ``jit`` with static shapes: a ``lax.scan`` over patches
+doing ``dynamic_slice → add → dynamic_update_slice`` on value + count
+canvases (XLA lowers the DUS on the loop-carried canvas to an in-place
+windowed update, so per-patch traffic is O(P²), not O(H·W)).
+:class:`CanvasStitcher` buffers patches per (slide, scale) and performs
+the whole accumulation in ONE device call per canvas at finalize time,
+with canvas dims bucketed to multiples of 128 and patch counts padded to
+powers of two so only a handful of shapes ever compile.
 """
 
 from __future__ import annotations
@@ -57,20 +61,87 @@ def stitch_canvas(
     return value, count
 
 
+@partial(jax.jit, static_argnames=("canvas_h", "canvas_w"))
+def stitch_canvas_masked(
+    patches: jnp.ndarray,  # (N, P, P, C) FULL padded patches
+    ys: jnp.ndarray,       # (N,) int32
+    xs: jnp.ndarray,       # (N,) int32
+    hs: jnp.ndarray,       # (N,) int32 true patch height (≤ P)
+    ws: jnp.ndarray,       # (N,) int32 true patch width  (≤ P)
+    valid: jnp.ndarray,    # (N,) bool
+    canvas_h: int,
+    canvas_w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlap-add with per-patch crop masks (the reference's
+    ``probs[:orig_h, :orig_w]`` trimming, done as a mask so every patch
+    keeps one static shape).
+
+    The working canvas is over-allocated by P on each dim so a clipped
+    patch near the border can never trigger ``dynamic_slice`` start
+    clamping (which would relocate the write); the margin is sliced off
+    before returning.
+    """
+    n, p, _, c = patches.shape
+    pad_h, pad_w = canvas_h + p, canvas_w + p
+    value = jnp.zeros((pad_h, pad_w, c), jnp.float32)
+    count = jnp.zeros((pad_h, pad_w, 1), jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+
+    def body(carry, inp):
+        value, count = carry
+        patch, y, x, h, w, ok = inp
+        m = ((row < h) & (col < w) & ok).astype(jnp.float32)
+        vs = jax.lax.dynamic_slice(value, (y, x, 0), (p, p, c))
+        value = jax.lax.dynamic_update_slice(value, vs + patch * m, (y, x, 0))
+        cs = jax.lax.dynamic_slice(count, (y, x, 0), (p, p, 1))
+        count = jax.lax.dynamic_update_slice(count, cs + m, (y, x, 0))
+        return (value, count), None
+
+    (value, count), _ = jax.lax.scan(
+        body, (value, count),
+        (patches.astype(jnp.float32), ys, xs, hs, ws, valid),
+    )
+    return value[:canvas_h, :canvas_w], count[:canvas_h, :canvas_w]
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _avg_and_resize(value, count, out_h: int, out_w: int):
+    """(sum, count) → averaged canvas bilinearly resized to native size,
+    all on device (reference order: average THEN resize,
+    ``mosaic_module.py:171-199``)."""
+    avg = value / jnp.maximum(count, 1e-12)
+    return resize(avg, (out_h, out_w), method="linear")
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def _bucket(n: int, q: int = 128) -> int:
+    return ((n + q - 1) // q) * q
+
+
 class CanvasStitcher:
     """Accumulates per-patch probabilities into multi-scale big masks.
 
     Reproduces the reference's exact ordering (``mosaic_module.py:171-199``):
     per-scale average (sum / count) → bilinear resize (half-pixel, torch
-    default) to native size → average over scales.  State lives on host as
-    numpy (one canvas pair per (slide, scale)); the overlap-add itself runs
-    on device in slide-sized chunks via :func:`stitch_canvas`.
+    default) to native size → average over scales.  Patches are buffered
+    per (slide, scale) as-is (no host arithmetic); the overlap-add, the
+    count-normalize AND the native-size resize all run on device in one
+    call per canvas at finalize time.  Canvas dims are bucketed to
+    multiples of 128 and patch counts padded to powers of two so only a
+    handful of program shapes compile across slides.
     """
 
     def __init__(self, num_classes: int):
         self.num_classes = num_classes
-        self._value: Dict[str, np.ndarray] = {}
-        self._count: Dict[str, np.ndarray] = {}
+        # key -> list of (patch (P,P,C) np, y, x, h, w)
+        self._buf: Dict[str, List] = {}
         self._native: Dict[str, Tuple[int, int]] = {}
         self._scales: Dict[str, set] = {}
 
@@ -83,19 +154,18 @@ class CanvasStitcher:
         slide: str,
         scale: float,
         native_hw: Tuple[int, int],
-        probs: np.ndarray,   # (P, P, C) or cropped (h, w, C)
+        probs: np.ndarray,   # (P, P, C) full patch, or pre-cropped (h, w, C)
         y: int,
         x: int,
+        crop_hw: Tuple[int, int] | None = None,
     ) -> None:
-        h0, w0 = native_hw
-        sh, sw = int(h0 * scale), int(w0 * scale)
-        k = self._key(slide, scale)
-        if k not in self._value:
-            self._value[k] = np.zeros((sh, sw, self.num_classes), np.float32)
-            self._count[k] = np.zeros((sh, sw, 1), np.float32)
-        ph, pw = probs.shape[:2]
-        self._value[k][y : y + ph, x : x + pw] += probs
-        self._count[k][y : y + ph, x : x + pw] += 1.0
+        """Buffer one patch.  ``crop_hw=(h, w)`` limits the contribution to
+        the top-left h×w window (the reference's ``[:orig_h, :orig_w]``);
+        pre-cropped inputs are also accepted."""
+        h, w = crop_hw if crop_hw is not None else probs.shape[:2]
+        self._buf.setdefault(self._key(slide, scale), []).append(
+            (probs, int(y), int(x), int(h), int(w))
+        )
         self._native[slide] = native_hw
         self._scales.setdefault(slide, set()).add(scale)
 
@@ -109,17 +179,39 @@ class CanvasStitcher:
         xs: Sequence[int],
         crop_hws: Sequence[Tuple[int, int]] | None = None,
     ) -> None:
-        """Batch add; ``crop_hws`` trims padded patches back to their true
-        extent before accumulation (reference crops ``[:orig_h, :orig_w]``)."""
         for i, slide in enumerate(slides):
-            p = probs[i]
-            if crop_hws is not None:
-                ch, cw = crop_hws[i]
-                p = p[:ch, :cw]
-            self.add(slide, scales[i], native_hws[i], p, ys[i], xs[i])
+            crop = tuple(crop_hws[i]) if crop_hws is not None else None
+            self.add(slide, scales[i], native_hws[i], probs[i], ys[i], xs[i],
+                     crop_hw=crop)
 
     def slides(self) -> List[str]:
         return sorted(self._native.keys())
+
+    def _scale_canvas(self, slide: str, scale: float):
+        """(value, count) canvases for one (slide, scale) — one device call."""
+        h0, w0 = self._native[slide]
+        sh, sw = int(h0 * scale), int(w0 * scale)
+        entries = self._buf[self._key(slide, scale)]
+        p = max(e[0].shape[0] for e in entries)
+        pc = max(e[0].shape[1] for e in entries)
+        p = max(p, pc)
+        n = _next_pow2(len(entries))
+        patches = np.zeros((n, p, p, self.num_classes), np.float32)
+        ys = np.zeros((n,), np.int32)
+        xs = np.zeros((n,), np.int32)
+        hs = np.zeros((n,), np.int32)
+        ws = np.zeros((n,), np.int32)
+        valid = np.zeros((n,), bool)
+        for i, (patch, y, x, h, w) in enumerate(entries):
+            ph, pw = patch.shape[:2]
+            patches[i, :ph, :pw] = patch
+            ys[i], xs[i], hs[i], ws[i], valid[i] = y, x, min(h, ph), min(w, pw), True
+        value, count = stitch_canvas_masked(
+            jnp.asarray(patches), jnp.asarray(ys), jnp.asarray(xs),
+            jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(valid),
+            _bucket(sh), _bucket(sw),
+        )
+        return value[:sh, :sw], count[:sh, :sw]
 
     def finalize(self, slide: str) -> np.ndarray:
         """Cross-scale averaged probability map at native size (H, W, C)."""
@@ -127,17 +219,14 @@ class CanvasStitcher:
         acc = np.zeros((h, w, self.num_classes), np.float32)
         scales = sorted(self._scales[slide])
         for s in scales:
-            k = self._key(slide, s)
-            canvas = self._value[k] / np.maximum(self._count[k], 1e-12)
-            canvas = np.asarray(resize(jnp.asarray(canvas), (h, w), method="linear"))
-            acc += canvas
+            value, count = self._scale_canvas(slide, s)
+            acc += np.asarray(_avg_and_resize(value, count, h, w))
         return acc / len(scales)
 
     def finalize_argmax(self, slide: str) -> np.ndarray:
         return np.argmax(self.finalize(slide), axis=-1).astype(np.uint8)
 
     def reset(self) -> None:
-        self._value.clear()
-        self._count.clear()
+        self._buf.clear()
         self._native.clear()
         self._scales.clear()

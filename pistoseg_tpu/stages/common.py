@@ -34,6 +34,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[Config, Dict[str, s
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = Config()
     extras: Dict[str, str] = {}
+    overridden = set()
     for arg in argv:
         if not arg.startswith("--") or "=" not in arg:
             raise ValueError(f"expected --key=value, got {arg}")
@@ -41,13 +42,44 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Tuple[Config, Dict[str, s
         key_norm = key.replace("-", "_")
         try:
             cfg.override(key_norm, value)
+            overridden.add(key_norm)
         except KeyError:
             extras[key_norm] = value
+    cfg.cli_overridden = frozenset(overridden)
     return cfg, extras
 
 
 def stage_mesh(cfg: Config):
     return build_mesh(cfg.mesh.axes, cfg.mesh.shape)
+
+
+def apply_pretrained(state, path: str, *, encoder_name: Optional[str] = None,
+                     subtree: str = "encoder"):
+    """Overlay ImageNet weights from ``--pretrained=<path>`` onto a fresh
+    train state: EfficientNet encoder (stages 2/5,
+    ``mosaic_module.py:79-86`` via smp's ``encoder_weights='imagenet'``
+    default) when ``encoder_name`` is given, else the ResNet38d backbone
+    (stage 4 ``revise_pseudo_labels.py:179-185``, stage 0
+    ``OEEM/classification/train.py:92-96``).  Heads/decoders keep their
+    random init."""
+    from pistoseg_tpu.models.pretrained import (
+        load_efficientnet_into,
+        load_resnet38d_into,
+    )
+
+    if encoder_name is not None:
+        params, batch_stats = load_efficientnet_into(
+            state.params, state.batch_stats, path, encoder_name, subtree=subtree
+        )
+    else:
+        params, batch_stats = load_resnet38d_into(
+            state.params, state.batch_stats, path, subtree=subtree
+        )
+    device = jax.devices()[0]
+    return state.replace(
+        params=jax.device_put(params, device),
+        batch_stats=jax.device_put(batch_stats, device),
+    )
 
 
 def native_size_map(eval_root: str | Path) -> Dict[str, Tuple[int, int]]:
@@ -75,6 +107,7 @@ def stitched_validation(
     tta: bool = False,
     bg_ignore_class: Optional[int] = None,
     patch_size: int = 224,
+    panel_cb=None,
 ) -> Dict[str, float]:
     """Reference stitched validation (``mosaic_module.py:137-241``):
 
@@ -107,6 +140,11 @@ def stitched_validation(
         for j in range(len(valid)):
             if not valid[j]:
                 continue
+            if panel_cb is not None:
+                # one (image, gt, pred) panel per validation pass
+                panel_cb(batch["image"][j], batch["mask"][j],
+                         pred[j].astype(np.uint8))
+                panel_cb = None
             patch_acc.add(pred[j], batch["mask"][j])
             name = batch["name"][j]
             try:
@@ -116,7 +154,8 @@ def stitched_validation(
             if slide not in natives:
                 continue
             oh, ow = batch["orig_hw"][j]
-            stitcher.add(slide, scale, natives[slide], probs[j][:oh, :ow], y, x)
+            stitcher.add(slide, scale, natives[slide], probs[j], y, x,
+                         crop_hw=(int(oh), int(ow)))
 
     out = {
         "patch_miou": patch_acc.miou(),

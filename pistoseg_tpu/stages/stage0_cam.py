@@ -34,9 +34,13 @@ from pistoseg_tpu.ops.cam import (
 )
 from pistoseg_tpu.ops.palette import decode_palette_png
 from pistoseg_tpu.ops.resize import resize
-from pistoseg_tpu.stages.common import parse_cli, stage_mesh
+from pistoseg_tpu.stages.common import apply_pretrained, parse_cli, stage_mesh
 from pistoseg_tpu.train.loop import Trainer, make_train_step
-from pistoseg_tpu.train.optim import poly_sgd
+from pistoseg_tpu.train.optim import (
+    WIDERESNET_MULTIPLIERS,
+    poly_sgd_grouped,
+    wideresnet_group_fn,
+)
 from pistoseg_tpu.train.state import create_train_state
 
 
@@ -141,6 +145,7 @@ def train_stage0(
     val_masks: Optional[str] = None,
     log_dir: str = "logs/stage0",
     max_steps_per_epoch: Optional[int] = None,
+    pretrained: Optional[str] = None,
 ) -> Dict:
     profile = cfg.profile
     cc = cfg.cam
@@ -152,11 +157,19 @@ def train_stage0(
     steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
     max_step = steps_per_epoch * cc.epochs
 
-    tx = poly_sgd(cc.lr, max_step, cc.poly_power, cc.momentum, cc.weight_decay)
+    # one PolyOptimizer group over trainable params; conv1a + all BN frozen
+    # (wideResNet.train() marks them requires_grad=False, train.py:101)
+    tx = poly_sgd_grouped(
+        cc.lr, max_step, wideresnet_group_fn, WIDERESNET_MULTIPLIERS,
+        power=cc.poly_power, momentum=cc.momentum, weight_decay=cc.weight_decay,
+    )
     rng = fold_in_str(root_key(cfg.seed), "stage0")
     state = create_train_state(
         model, rng, jnp.zeros((1, cc.crop_size, cc.crop_size, 3)), tx
     )
+    if pretrained:
+        # ImageNet ResNet38d init (OEEM/classification/train.py:92-96)
+        state = apply_pretrained(state, pretrained, subtree="trunk")
 
     aug_cfg = AugmentConfig(out_size=cc.crop_size, rrc_scale=cc.rrc_scale,
                             ssr_p=0.0, distort_p=0.0,
@@ -165,6 +178,9 @@ def train_stage0(
 
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
     logger = MetricsLogger(log_dir, "stage0")
+    from pistoseg_tpu.core.logging import snapshot_code
+    snapshot_code(log_dir)
+    cfg.save(Path(log_dir) / "config.json")
 
     def train_iter(epoch):
         for i, batch in enumerate(loader.epoch(epoch)):
@@ -206,6 +222,7 @@ def main(argv=None):
         max_steps_per_epoch=(
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
+        pretrained=extras.get("pretrained"),
     )
 
 

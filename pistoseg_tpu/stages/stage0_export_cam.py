@@ -35,6 +35,19 @@ def export_cams(
     model = WideResNetClassifier(num_classes=profile.num_classes)
     ckpt = CheckpointManager(ckpt_dir)
     name = "best" if ckpt.exists("best") else "last"
+
+    from pistoseg_tpu.core.manifest import hash_tree, skip_if_current, write_manifest
+
+    out = Path(out_dir)
+    manifest_inputs = {
+        "train_data": hash_tree(train_data, "*.png", limit=256),
+        "checkpoint": hash_tree(Path(ckpt_dir) / f"{name}.meta.json"),
+        "limit": str(limit),
+    }
+    if skip_if_current(out, "stage0_export", manifest_inputs, cfg.to_dict()):
+        return {"cams": -1, "out_dir": str(out), "checkpoint": name,
+                "skipped": True}
+
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
@@ -44,21 +57,19 @@ def export_cams(
     if limit is not None:
         crop_ds.paths = crop_ds.paths[:limit]
 
-    out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     n = 0
     for stem, _hw, cam, _label in generate_cams_for_split(
         model, variables, crop_ds, profile.num_classes, profile=profile
     ):
-        cam = cam / len(profile.cam_scales)  # prepare_seg_inputs.py:134
+        # ensemble_scales already divides by len(scales) — the stored
+        # artifact equals the prepare_seg_inputs.py:134 sum/len contract
         np.save(out / f"{stem}.npy", cam_to_artifact(cam, 32))
         n += 1
 
-    from pistoseg_tpu.core.manifest import hash_tree, write_manifest
-
     write_manifest(
         out, "stage0_export",
-        inputs={"train_data": hash_tree(train_data, "*.png", limit=256)},
+        inputs=manifest_inputs,
         config=cfg.to_dict(),
         outputs={"cams": n},
     )

@@ -34,7 +34,12 @@ from pistoseg_tpu.data.loader import BatchLoader
 from pistoseg_tpu.losses.segmentation import cross_entropy_loss, dice_loss
 from pistoseg_tpu.models.factory import create_segmentation_model
 from pistoseg_tpu.ops.augment import AugmentConfig, augment_batch
-from pistoseg_tpu.stages.common import parse_cli, stage_mesh, stitched_validation
+from pistoseg_tpu.stages.common import (
+    apply_pretrained,
+    parse_cli,
+    stage_mesh,
+    stitched_validation,
+)
 from pistoseg_tpu.train.loop import Trainer, make_train_step
 from pistoseg_tpu.train.optim import adamw_exponential
 from pistoseg_tpu.train.state import create_train_state
@@ -79,6 +84,7 @@ def train_stage2(
     max_steps_per_epoch: Optional[int] = None,
     shard_cache: Optional[str] = None,
     resume: bool = False,
+    pretrained: Optional[str] = None,
 ) -> Dict:
     profile = cfg.profile
     sc = cfg.mosaic
@@ -115,12 +121,20 @@ def train_stage2(
     sample = jnp.zeros((sc.batch_size, sc.patch_size, sc.patch_size, 3),
                        jnp.bfloat16 if sc.precision == "bf16" else jnp.float32)
     state = create_train_state(model, rng, sample, tx)
+    if pretrained:
+        # ImageNet EfficientNet encoder init (smp encoder_weights='imagenet'
+        # default, mosaic_module.py:79-86); decoder/head stay fresh
+        state = apply_pretrained(state, pretrained, encoder_name=sc.encoder)
 
     aug_cfg = AugmentConfig(out_size=sc.patch_size, rrc_scale=(0.9, 1.0))
     train_step = make_train_step(build_loss_fn(model, profile, sc, aug_cfg), mesh)
 
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
     logger = MetricsLogger(log_dir, "stage2")
+    # experiment provenance (reference mosaic_train.py:85-117)
+    from pistoseg_tpu.core.logging import snapshot_code
+    snapshot_code(log_dir)
+    cfg.save(Path(log_dir) / "config.json")
 
     def apply_eval(v, x):
         return model.apply(v, x, train=False)
@@ -132,9 +146,16 @@ def train_stage2(
             EvalPatchDataset(val_data, sc.patch_size), cfg.infer.batch_size
         )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        def panel(img, gt, pred):
+            from pistoseg_tpu.core.visualize import validation_panel
+            logger.log_image(
+                "val_panel", validation_panel(profile.palette, img, gt, pred),
+                step=epoch,
+            )
+
         metrics = stitched_validation(
             apply_eval, variables, val_loader, num_classes, val_big_root,
-            tta=False, patch_size=sc.patch_size,
+            tta=False, patch_size=sc.patch_size, panel_cb=panel,
         )
         console_metric_block(f"Stage-2 validation (epoch {epoch})", metrics)
         logger.log(dict(metrics, epoch=epoch))
@@ -201,6 +222,7 @@ def main(argv=None):
         ),
         shard_cache=extras.get("shard_cache"),
         resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
+        pretrained=extras.get("pretrained"),
     )
 
 

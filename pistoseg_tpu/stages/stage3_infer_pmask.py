@@ -75,6 +75,19 @@ def infer_stage3(
                                       sc.decoder_attention, dtype=act_dtype)
     ckpt = CheckpointManager(ckpt_dir)
     name = "best" if ckpt.exists("best") else "last"
+
+    from pistoseg_tpu.core.manifest import hash_tree, skip_if_current, write_manifest
+
+    out = Path(out_dir)
+    manifest_inputs = {
+        "train_data": hash_tree(train_data, "*.png", limit=256),
+        "checkpoint": hash_tree(Path(ckpt_dir) / f"{name}.meta.json"),
+        "limit": str(limit),
+    }
+    if skip_if_current(out, "stage3", manifest_inputs, cfg.to_dict()):
+        return {"patches": -1, "checkpoint": name, "out_dir": str(out),
+                "skipped": True}
+
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
@@ -93,7 +106,6 @@ def infer_stage3(
         ds.paths = ds.paths[:limit]
     loader = BatchLoader(ds, cfg.infer.batch_size)
 
-    out = Path(out_dir)
     (out / "logits_32x32").mkdir(parents=True, exist_ok=True)
     (out / "mask").mkdir(parents=True, exist_ok=True)
     (out / "entropy").mkdir(parents=True, exist_ok=True)
@@ -136,12 +148,9 @@ def infer_stage3(
         for f in futures:
             f.result()
 
-    from pistoseg_tpu.core.manifest import hash_tree, write_manifest
-
     write_manifest(
         out, "stage3",
-        inputs={"train_data": hash_tree(train_data, "*.png", limit=256),
-                "checkpoint": hash_tree(Path(ckpt_dir) / f"{name}.meta.json")},
+        inputs=manifest_inputs,
         config=cfg.to_dict(),
         outputs={"patches": n_done},
     )

@@ -31,7 +31,7 @@ from pistoseg_tpu.losses.revise import max_norm, revise_losses
 from pistoseg_tpu.models.rfm import ReviseNet
 from pistoseg_tpu.ops.augment import imagenet_normalize
 from pistoseg_tpu.ops.resize import resize
-from pistoseg_tpu.stages.common import parse_cli, stage_mesh
+from pistoseg_tpu.stages.common import apply_pretrained, parse_cli, stage_mesh
 from pistoseg_tpu.train.loop import Trainer, make_train_step
 from pistoseg_tpu.train.optim import RFM_MULTIPLIERS, poly_sgd_grouped, rfm_group_fn
 from pistoseg_tpu.train.state import create_train_state
@@ -96,11 +96,19 @@ def train_stage4(
     cam_dir: str,
     log_dir: str = "logs/stage4",
     max_steps_per_epoch: Optional[int] = None,
+    pretrained: Optional[str] = None,
+    trust_inputs: bool = False,
 ) -> Dict:
     profile = cfg.profile
     rc = cfg.revise
     mesh = stage_mesh(cfg)
     n_ch = profile.num_classes + 1  # + background channel
+
+    # refuse stale/incomplete upstream artifacts (SURVEY.md §5.3)
+    from pistoseg_tpu.core.manifest import check_upstream
+
+    check_upstream(pmask_dir, "stage3", what="pmask_dir", trust=trust_inputs)
+    check_upstream(cam_dir, "stage0_export", what="cam_dir", trust=trust_inputs)
 
     act_dtype = jnp.bfloat16 if rc.precision == "bf16" else jnp.float32
     model = ReviseNet(num_classes=n_ch, dtype=act_dtype,
@@ -122,12 +130,18 @@ def train_stage4(
         jnp.zeros((rc.batch_size, 32, 32, n_ch)),
     )
     state = create_train_state(model, rng, sample, tx)
+    if pretrained:
+        # ImageNet ResNet38d backbone init (revise_pseudo_labels.py:179-185)
+        state = apply_pretrained(state, pretrained, subtree="backbone")
 
     train_step = make_train_step(
         build_loss_fn(model, s, rc.ecr_topk_frac, rc.precision), mesh
     )
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
     logger = MetricsLogger(log_dir, "stage4")
+    from pistoseg_tpu.core.logging import snapshot_code
+    snapshot_code(log_dir)
+    cfg.save(Path(log_dir) / "config.json")
 
     def train_iter(epoch):
         for i, batch in enumerate(loader.epoch(epoch)):
@@ -160,6 +174,8 @@ def main(argv=None):
         max_steps_per_epoch=(
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
+        pretrained=extras.get("pretrained"),
+        trust_inputs=extras.get("trust_inputs", "false").lower() in ("1", "true", "yes"),
     )
 
 

@@ -40,10 +40,32 @@ def infer_stage4b(
     ckpt_dir: str,
     out_dir: Optional[str] = None,
     limit: Optional[int] = None,
+    trust_inputs: bool = False,
 ) -> Dict:
     profile = cfg.profile
     rc = cfg.revise
     n_ch = profile.num_classes + 1
+
+    from pistoseg_tpu.core.manifest import (
+        check_upstream,
+        hash_tree,
+        skip_if_current,
+        write_manifest,
+    )
+
+    check_upstream(pmask_dir, "stage3", what="pmask_dir", trust=trust_inputs)
+    check_upstream(cam_dir, "stage0_export", what="cam_dir", trust=trust_inputs)
+
+    out = Path(out_dir) if out_dir else Path(ckpt_dir) / "refine"
+    manifest_inputs = {
+        "train_data": hash_tree(train_data, "*.png", limit=256),
+        "pmask": hash_tree(pmask_dir, "*.npy", limit=256),
+        "cam": hash_tree(cam_dir, "*.npy", limit=256),
+        "rfm": hash_tree(Path(ckpt_dir) / "rfm.meta.json"),
+        "limit": str(limit),
+    }
+    if skip_if_current(out, "stage4b", manifest_inputs, cfg.to_dict()):
+        return {"patches": -1, "out_dir": str(out), "skipped": True}
 
     act_dtype = jnp.bfloat16 if rc.precision == "bf16" else jnp.float32
     model = ReviseNet(num_classes=n_ch, dtype=act_dtype, use_pallas=rc.use_pallas)
@@ -66,7 +88,6 @@ def infer_stage4b(
         ds.paths = ds.paths[:limit]
     loader = BatchLoader(ds, cfg.infer.batch_size)
 
-    out = Path(out_dir) if out_dir else Path(ckpt_dir) / "refine"
     for sub in ("pmask", "pcam", "cam"):
         (out / sub).mkdir(parents=True, exist_ok=True)
 
@@ -91,13 +112,9 @@ def infer_stage4b(
                 encode_palette_png(mask, profile.palette, out / sub / name)
             n_done += 1
 
-    from pistoseg_tpu.core.manifest import hash_tree, write_manifest
-
     write_manifest(
         out, "stage4b",
-        inputs={"train_data": hash_tree(train_data, "*.png", limit=256),
-                "pmask": hash_tree(pmask_dir, "*.npy", limit=256),
-                "cam": hash_tree(cam_dir, "*.npy", limit=256)},
+        inputs=manifest_inputs,
         config=cfg.to_dict(),
         outputs={"patches": n_done},
     )
@@ -114,6 +131,7 @@ def main(argv=None):
         ckpt_dir=extras["ckpt_dir"],
         out_dir=extras.get("out_dir"),
         limit=int(extras["limit"]) if "limit" in extras else None,
+        trust_inputs=extras.get("trust_inputs", "false").lower() in ("1", "true", "yes"),
     )
 
 

@@ -55,9 +55,12 @@ def test_stage5(
     stage = stored.get("mosaic") if meta.get("stage") == "stage2" else stored.get("seg")
     model_name = sc.model
     encoder = sc.encoder
-    if stage and sc.model == "unetplusplus" and sc.encoder == "efficientnet-b3":
-        # defaults untouched: adopt the producing stage's architecture
+    user_set = getattr(cfg, "cli_overridden", frozenset())
+    if stage and "seg.model" not in user_set:
+        # not user-specified: adopt the producing stage's architecture
+        # (explicitly requesting the default on the CLI now sticks)
         model_name = stage.get("model", model_name)
+    if stage and "seg.encoder" not in user_set:
         encoder = stage.get("encoder", encoder)
 
     act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
@@ -96,7 +99,8 @@ def test_stage5(
                 except ValueError:
                     continue
                 if slide in natives:
-                    stitcher.add(slide, scale, natives[slide], probs[j][:oh, :ow], y, xpos)
+                    stitcher.add(slide, scale, natives[slide], probs[j], y, xpos,
+                                 crop_hw=(oh, ow))
             else:
                 bcss_outputs.append((batch["name"][j], pred[j][:oh, :ow]))
 

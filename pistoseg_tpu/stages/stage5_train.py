@@ -23,7 +23,12 @@ from pistoseg_tpu.data.datasets import EvalPatchDataset, PseudoTrainDataset
 from pistoseg_tpu.data.loader import BatchLoader
 from pistoseg_tpu.models.factory import create_segmentation_model
 from pistoseg_tpu.ops.augment import AugmentConfig
-from pistoseg_tpu.stages.common import parse_cli, stage_mesh, stitched_validation
+from pistoseg_tpu.stages.common import (
+    apply_pretrained,
+    parse_cli,
+    stage_mesh,
+    stitched_validation,
+)
 from pistoseg_tpu.stages.stage2_mosaic import build_loss_fn
 from pistoseg_tpu.train.loop import Trainer, make_train_step
 from pistoseg_tpu.train.optim import adamw_exponential
@@ -39,11 +44,18 @@ def train_stage5(
     log_dir: str = "logs/stage5",
     max_steps_per_epoch: Optional[int] = None,
     resume: bool = False,
+    pretrained: Optional[str] = None,
+    trust_inputs: bool = False,
 ) -> Dict:
     profile = cfg.profile
     sc = cfg.seg
     mesh = stage_mesh(cfg)
     num_classes = profile.num_classes
+
+    # mask_dir is refine/{cam,pmask,pcam} from stage 4b — refuse stale runs
+    from pistoseg_tpu.core.manifest import check_upstream
+
+    check_upstream(mask_dir, "stage4b", what="mask_dir", trust=trust_inputs)
 
     act_dtype = jnp.bfloat16 if sc.precision == "bf16" else jnp.float32
     model = create_segmentation_model(sc.model, sc.encoder, num_classes,
@@ -60,12 +72,18 @@ def train_stage5(
     sample = jnp.zeros((sc.batch_size, sc.patch_size, sc.patch_size, 3),
                        jnp.bfloat16 if sc.precision == "bf16" else jnp.float32)
     state = create_train_state(model, rng, sample, tx)
+    if pretrained:
+        # ImageNet EfficientNet encoder init (smp default, mosaic_module.py:79-86)
+        state = apply_pretrained(state, pretrained, encoder_name=sc.encoder)
 
     aug_cfg = AugmentConfig(out_size=sc.patch_size, rrc_scale=(0.9, 1.0))
     train_step = make_train_step(build_loss_fn(model, profile, sc, aug_cfg), mesh)
 
     ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
     logger = MetricsLogger(log_dir, "stage5")
+    from pistoseg_tpu.core.logging import snapshot_code
+    snapshot_code(log_dir)
+    cfg.save(Path(log_dir) / "config.json")
     def apply_eval(v, x):
         return model.apply(v, x, train=False)
 
@@ -74,9 +92,16 @@ def train_stage5(
             return 0.0
         val_loader = BatchLoader(EvalPatchDataset(val_data, sc.patch_size), cfg.infer.batch_size)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        def panel(img, gt, pred):
+            from pistoseg_tpu.core.visualize import validation_panel
+            logger.log_image(
+                "val_panel", validation_panel(profile.palette, img, gt, pred),
+                step=epoch,
+            )
+
         metrics = stitched_validation(
             apply_eval, variables, val_loader, num_classes, val_big_root,
-            patch_size=sc.patch_size,
+            patch_size=sc.patch_size, panel_cb=panel,
         )
         console_metric_block(f"Stage-5 validation (epoch {epoch})", metrics)
         logger.log(dict(metrics, epoch=epoch))
@@ -128,6 +153,8 @@ def main(argv=None):
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
         resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
+        pretrained=extras.get("pretrained"),
+        trust_inputs=extras.get("trust_inputs", "false").lower() in ("1", "true", "yes"),
     )
 
 

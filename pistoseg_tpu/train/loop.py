@@ -106,11 +106,13 @@ class Trainer:
         self.best_epoch = -1
 
     def fit(self, state: TrainState) -> TrainState:
+        from pistoseg_tpu.core.profiling import StepTimer
+
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
+            timer = StepTimer(name=f"epoch{epoch}", warmup=1)
             n_steps = 0
             loss_sum = 0.0
-            first_step_s = 0.0
             for batch in self.train_iter_fn(epoch):
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
@@ -118,23 +120,21 @@ class Trainer:
                 step_rng = jax.random.fold_in(
                     jax.random.fold_in(self.rng, epoch), n_steps
                 )
-                ts = time.time()
-                state, metrics = self.train_step(state, batch, step_rng)
-                loss_sum += float(metrics["loss"])  # scalar fetch = sync
-                if n_steps == 0:
-                    first_step_s = time.time() - ts
+                with timer.step(items=self.items_per_batch or 1):
+                    state, metrics = self.train_step(state, batch, step_rng)
+                    loss_sum += float(metrics["loss"])  # scalar fetch = sync
                 n_steps += 1
-            dt = time.time() - t0
-            steady = max(dt - first_step_s, 1e-9)
+            stats = timer.summary()
             log = {
                 "epoch": epoch,
                 "train_loss": loss_sum / max(n_steps, 1),
                 "steps": n_steps,
-                "epoch_seconds": dt,
-                "compile_seconds": first_step_s,
+                "epoch_seconds": time.time() - t0,
+                "compile_seconds": stats.get("compile_ms", 0.0) / 1000.0,
+                "step_ms_p50": stats.get("p50_ms", 0.0),
             }
             if self.items_per_batch and n_steps > 1:
-                log["items_per_sec"] = self.items_per_batch * (n_steps - 1) / steady
+                log["items_per_sec"] = stats.get("items_per_sec", 0.0)
             if self.validate_fn is not None:
                 metric = float(self.validate_fn(state, epoch))
                 log["val_metric"] = metric

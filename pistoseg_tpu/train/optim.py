@@ -77,16 +77,24 @@ def poly_sgd_grouped(
     """Per-parameter-group lr multipliers on top of :func:`poly_sgd`.
 
     ``group_fn(path_str, leaf_path)`` labels each param; ``multipliers``
-    maps label → lr multiplier.  Implemented with ``optax.multi_transform``
-    so group membership is static (no runtime branching under jit).
+    maps label → lr multiplier.  A multiplier of ``0.0`` freezes the group
+    entirely (``optax.set_to_zero`` — no update, no weight decay), which is
+    how torch's ``requires_grad=False`` params behave (the reference
+    optimizer skips them, ``revise_net.py:98-117``).  Implemented with
+    ``optax.multi_transform`` so group membership is static (no runtime
+    branching under jit).
     """
     transforms = {
-        label: optax.chain(
-            optax.add_decayed_weights(weight_decay),
-            optax.sgd(
-                learning_rate=_poly_schedule(lr * mult, max_step, power),
-                momentum=momentum,
-            ),
+        label: (
+            optax.set_to_zero()
+            if mult == 0.0
+            else optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.sgd(
+                    learning_rate=_poly_schedule(lr * mult, max_step, power),
+                    momentum=momentum,
+                ),
+            )
         )
         for label, mult in multipliers.items()
     }
@@ -101,16 +109,30 @@ def poly_sgd_grouped(
     return optax.multi_transform(transforms, labeler)
 
 
+def _is_bn_path(parts) -> bool:
+    # FrozenBN nests an nn.BatchNorm named 'bn'; loose BatchNorm modules
+    # appear as 'bn*' / 'BatchNorm*' / '*_bn' path components.
+    return any(
+        p == "bn" or p.startswith("bn") or p.startswith("BatchNorm") or p.endswith("_bn")
+        for p in parts
+    )
+
+
 def rfm_group_fn(path: str, _=None) -> str:
     """Stage-4 grouping: scratch layers (fc8, f8_3, f8_4, f9_1, f9_2) vs
-    pretrained backbone; weights vs biases/scales.
+    pretrained backbone; weights vs biases/scales; frozen set matching the
+    reference exactly.
 
-    Reference ``revise_net.py:98-117``: groups over Conv/GroupNorm params
-    only — BatchNorm params are frozen there; here BN scale/bias fall in
-    the bias groups (they get the bias multiplier; reference parity is
-    preserved because frozen-BN layers receive no gradient anyway when
-    marked non-trainable).
+    Reference semantics: ``revise_net.py:26-27`` freezes conv1a + all of
+    b2/b2_1/b2_2, and the ``train()`` override (``resnet38d.py:191-213``)
+    freezes every BatchNorm weight/bias; the optimizer then groups only the
+    remaining Conv params 1×/2×/10×/20× (``revise_net.py:98-117``).
     """
+    parts = path.split("/")
+    if _is_bn_path(parts):
+        return "frozen"
+    if parts[0] == "backbone" and parts[1] in ("conv1a", "b2", "b2_1", "b2_2"):
+        return "frozen"
     scratch = any(s in path for s in ("fc8", "f8_3", "f8_4", "f9_1", "f9_2"))
     is_weight = path.endswith("kernel")
     if scratch:
@@ -118,4 +140,24 @@ def rfm_group_fn(path: str, _=None) -> str:
     return "pre_w" if is_weight else "pre_b"
 
 
-RFM_MULTIPLIERS = {"pre_w": 1.0, "pre_b": 2.0, "scratch_w": 10.0, "scratch_b": 20.0}
+RFM_MULTIPLIERS = {
+    "pre_w": 1.0, "pre_b": 2.0, "scratch_w": 10.0, "scratch_b": 20.0,
+    "frozen": 0.0,
+}
+
+
+def wideresnet_group_fn(path: str, _=None) -> str:
+    """Stage-0 grouping: the OEEM classifier passes ALL params to one
+    PolyOptimizer group (``OEEM/classification/train.py:101``), but
+    ``wideResNet.train()`` (``wide_resnet.py:133,192-208``) has marked
+    conv1a and every BatchNorm non-trainable — torch skips grad-less params,
+    so they are effectively frozen."""
+    parts = path.split("/")
+    if _is_bn_path(parts):
+        return "frozen"
+    if parts[0] == "trunk" and parts[1] == "conv1a":
+        return "frozen"
+    return "train"
+
+
+WIDERESNET_MULTIPLIERS = {"train": 1.0, "frozen": 0.0}

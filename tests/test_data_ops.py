@@ -102,6 +102,16 @@ def test_config_profiles_and_overrides():
         cfg.override("mosaic.nope", "1")
     # serialization round-trip sanity
     assert "bcss" in cfg.to_json()
+    # explicit CLI sets are tracked (stage5_test arch adoption) and stay
+    # out of the serialized config
+    assert cfg.cli_overridden == {"dataset", "mosaic.lr", "seg.tta"}
+    assert "cli_overridden" not in cfg.to_json()
+    # parse_cli tracks the same way and splits extras
+    from pistoseg_tpu.stages.common import parse_cli
+    cfg2, extras = parse_cli(["--seg.encoder=efficientnet-b0", "--train_data=x"])
+    assert cfg2.cli_overridden == {"seg.encoder"}
+    assert extras == {"train_data": "x"}
+    assert Config().cli_overridden == frozenset()
 
 
 def test_glas_profile_and_normalize():

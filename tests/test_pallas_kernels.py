@@ -9,7 +9,6 @@ from pistoseg_tpu.ops.pallas.rfm_attention import (
     _rfm_attention_reference,
     rfm_attention,
 )
-from pistoseg_tpu.ops.pallas.stitch import stitch_accumulate
 from pistoseg_tpu.ops.stitch import stitch_canvas
 
 
@@ -34,30 +33,6 @@ def test_rfm_attention_columns_normalized():
     out = np.asarray(rfm_attention(q, k, v, block_j=16, interpret=True))
     np.testing.assert_allclose(out, 1.0, atol=1e-5)
 
-
-def test_stitch_accumulate_matches_scan_path():
-    rng = np.random.RandomState(2)
-    patches = jnp.asarray(rng.rand(3, 8, 8, 4), jnp.float32)
-    ys = jnp.asarray([0, 4, 8], jnp.int32)
-    xs = jnp.asarray([0, 4, 0], jnp.int32)
-    valid = jnp.asarray([True, True, False])
-    v_ref, c_ref = stitch_canvas(patches, ys, xs, valid, 16, 16)
-    v_got, c_got = stitch_accumulate(patches, ys, xs, valid, 16, 16,
-                                     interpret=True)
-    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), atol=1e-5)
-
-
-def test_stitch_accumulate_fallback_path():
-    rng = np.random.RandomState(3)
-    patches = jnp.asarray(rng.rand(2, 4, 4, 2), jnp.float32)
-    ys = jnp.asarray([0, 2], jnp.int32)
-    xs = jnp.asarray([0, 2], jnp.int32)
-    valid = jnp.asarray([True, True])
-    v1, c1 = stitch_accumulate(patches, ys, xs, valid, 8, 8, use_pallas=False)
-    v2, c2 = stitch_accumulate(patches, ys, xs, valid, 8, 8, interpret=True)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
 
 
 def test_rfm_attention_vjp_matches_reference_grad():

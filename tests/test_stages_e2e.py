@@ -16,6 +16,8 @@ from pistoseg_tpu.ops.palette import decode_palette_png, encode_palette_png
 
 from util_synthetic import make_big_eval_set, make_training_patches
 
+pytestmark = pytest.mark.heavy  # e2e chains / big-backbone compiles
+
 
 @pytest.fixture(scope="module")
 def pipe(tmp_path_factory):
@@ -94,6 +96,7 @@ def test_stage5_train_and_test(pipe, tmp_path):
     cfg = _tiny_cfg()
     log_dir = tmp_path / "s5"
     train_stage5(cfg, str(pipe["train"]), str(mask_dir), val_data=None,
+                 trust_inputs=True,
                  log_dir=str(log_dir), max_steps_per_epoch=2)
     ckpt_dir = log_dir / "checkpoints"
     assert (ckpt_dir / "last").exists()

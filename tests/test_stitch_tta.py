@@ -101,3 +101,40 @@ def test_d4_forward_averages_views():
     expect /= len(D4)
     got = np.asarray(d4_forward(model, jnp.asarray(x)))
     np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_canvas_stitcher_matches_host_reference_ragged():
+    """Device masked stitch == naive host += accumulation (the reference
+    semantics, mosaic_module.py:160-199), including cropped tail patches
+    and canvas-size bucketing."""
+    rng = np.random.RandomState(4)
+    c, p = 3, 32
+    natives = {"a": (70, 90), "b": (40, 33)}
+    scales = (1.0, 1.5)
+    st = CanvasStitcher(num_classes=c)
+    host_val, host_cnt = {}, {}
+    for slide, (h0, w0) in natives.items():
+        for s in scales:
+            sh, sw = int(h0 * s), int(w0 * s)
+            k = f"{slide}_{s}"
+            host_val[k] = np.zeros((sh, sw, c), np.float32)
+            host_cnt[k] = np.zeros((sh, sw, 1), np.float32)
+            for _ in range(rng.randint(3, 7)):
+                ph = rng.randint(8, p + 1)
+                pw = rng.randint(8, p + 1)
+                y = rng.randint(0, sh - ph + 1)
+                x = rng.randint(0, sw - pw + 1)
+                patch = np.zeros((p, p, c), np.float32)
+                patch[:ph, :pw] = rng.rand(ph, pw, c)
+                st.add(slide, s, (h0, w0), patch, y, x, crop_hw=(ph, pw))
+                host_val[k][y : y + ph, x : x + pw] += patch[:ph, :pw]
+                host_cnt[k][y : y + ph, x : x + pw] += 1.0
+
+    for slide, (h0, w0) in natives.items():
+        acc = np.zeros((h0, w0, c), np.float32)
+        for s in scales:
+            k = f"{slide}_{s}"
+            canvas = host_val[k] / np.maximum(host_cnt[k], 1e-12)
+            acc += np.asarray(resize(jnp.asarray(canvas), (h0, w0), "linear"))
+        ref = acc / len(scales)
+        np.testing.assert_allclose(st.finalize(slide), ref, atol=1e-5)

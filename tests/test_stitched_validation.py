@@ -5,6 +5,7 @@ patch+big-mask metric path without training anything."""
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -15,6 +16,8 @@ from pistoseg_tpu.stages.common import stitched_validation
 from pistoseg_tpu.stages.stage1_split import split_images
 
 from util_synthetic import _CLASS_COLORS, make_big_eval_set
+
+pytestmark = pytest.mark.heavy  # multi-scale oracle e2e
 
 
 def test_multiscale_stitched_validation_with_oracle(tmp_path):
