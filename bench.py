@@ -3,7 +3,7 @@
 Measures three paths on the real chip:
 
 * ``unetpp_b0_224_infer`` — the stage-3 workhorse (UNet++/EfficientNet-b0
-  forward, bf16, batch 256), the headline metric;
+  forward, bf16, batch 512), the headline metric;
 * ``stage2_train_step`` — full stage-2 training step (device augmentation
   + bf16 fwd/bwd + AdamW update, donated state) at batch 64;
 * ``stage4_train_step`` — ReviseNet (ResNet38d+RFM) training step at the
@@ -76,7 +76,7 @@ def _flops_of(jitted, *args) -> float:
 def bench_infer():
     from pistoseg_tpu.models.factory import create_segmentation_model
 
-    batch = 256
+    batch = 512
     model = create_segmentation_model("UnetPlusPlus", "efficientnet-b0", 3,
                                       dtype=jnp.bfloat16)
     cpu = jax.devices("cpu")[0]

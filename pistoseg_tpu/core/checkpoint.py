@@ -74,20 +74,29 @@ class CheckpointManager:
     # -- full-state resume (params + batch_stats + optimizer + step) -------
 
     def save_train_state(self, state, epoch: int, metric: float = float("nan"),
-                         extra: Optional[dict] = None) -> None:
+                         extra: Optional[dict] = None,
+                         step_in_epoch: int = -1) -> None:
         """Persist the complete TrainState for exact resume — something the
-        reference never supports (SURVEY.md §5.4)."""
+        reference never supports (SURVEY.md §5.4).
+
+        ``step_in_epoch ≥ 0`` marks a MID-epoch snapshot: ``epoch`` is the
+        epoch in progress and ``step_in_epoch`` is the number of its
+        batches already consumed (the next run skips exactly that many —
+        batch order is a pure function of (seed, epoch))."""
         tree = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        meta = dict(extra or {}, step_in_epoch=step_in_epoch)
         self.save("train_state", tree, epoch=epoch, step=int(state.step),
-                  metric=metric, extra=extra)
+                  metric=metric, extra=meta)
 
     def restore_train_state(self, state):
-        """Returns (state, next_epoch) with all fields restored."""
+        """Returns (state, start_epoch, start_step_in_epoch): resume at
+        ``start_epoch``, skipping its first ``start_step_in_epoch`` batches
+        (0 after a clean end-of-epoch snapshot)."""
         target = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -102,4 +111,8 @@ class CheckpointManager:
             opt_state=tree["opt_state"],
             step=jax.numpy.asarray(tree["step"]),
         )
-        return state, int(meta.get("epoch", -1)) + 1
+        epoch = int(meta.get("epoch", -1))
+        step_in_epoch = int(meta.get("step_in_epoch", -1))
+        if step_in_epoch >= 0:
+            return state, epoch, step_in_epoch
+        return state, epoch + 1, 0

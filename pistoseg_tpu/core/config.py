@@ -169,6 +169,9 @@ class TrainStageConfig:
     cutmix_prob: float = 0.8
     val_scales: Tuple[float, ...] = (1.0,)
     precision: str = "bf16"              # activations dtype: 'bf16' | 'fp32'
+    # mid-epoch resume granularity: snapshot the full train state every N
+    # steps (0 = end-of-epoch only).  SURVEY.md §5.4's TPU-equivalent bar.
+    checkpoint_every_steps: int = 0
 
 
 @dataclass

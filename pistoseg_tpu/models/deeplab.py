@@ -44,7 +44,8 @@ class _ConvBNReLU(nn.Module):
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         kernel_dilation=(self.dilation, self.dilation),
                         padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         use_fast_variance=False)(x)
         return nn.relu(x)
 
 

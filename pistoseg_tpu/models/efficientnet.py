@@ -107,6 +107,10 @@ class MBConv(nn.Module):
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,
                 dtype=self.dtype,
+                # two-pass variance: the fast mean(x^2)-mean(x)^2 form loses
+                # ~1e-3 to cancellation on large activations, which breaks
+                # cross-sharding reproducibility (1-dev vs 8-dev)
+                use_fast_variance=False,
                 name=name,
             )
 
@@ -164,7 +168,8 @@ class EfficientNetEncoder(nn.Module):
         x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                         epsilon=1e-3, dtype=self.dtype, name="stem_bn")(x)
+                         epsilon=1e-3, dtype=self.dtype,
+                         use_fast_variance=False, name="stem_bn")(x)
         x = nn.swish(x)
 
         features: List[jnp.ndarray] = [x]  # reduction 2

@@ -63,7 +63,7 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                         dtype=self.dtype)(x)
+                         dtype=self.dtype, use_fast_variance=False)(x)
         return nn.relu(x)
 
 

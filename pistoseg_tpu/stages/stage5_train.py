@@ -119,9 +119,9 @@ def train_stage5(
                 break
             yield {k: batch[k] for k in ("image", "mask", "valid")}
 
-    start_epoch = 0
+    start_epoch, start_step = 0, 0
     if resume and ckpt.exists("train_state"):
-        state, start_epoch = ckpt.restore_train_state(state)
+        state, start_epoch, start_step = ckpt.restore_train_state(state)
 
     trainer = Trainer(
         train_step, sc.epochs, train_iter, mesh=mesh,
@@ -129,7 +129,11 @@ def train_stage5(
         checkpoint_fn=checkpoint, log_fn=lambda m: logger.log(m),
         rng=fold_in_str(root_key(cfg.seed), "stage5/train"),
         start_epoch=start_epoch,
+        start_step=start_step,
         items_per_batch=sc.batch_size,
+        step_checkpoint_every=sc.checkpoint_every_steps,
+        step_checkpoint_fn=lambda s, e, i: ckpt.save_train_state(
+            s, e, step_in_epoch=i),
     )
     if resume and ckpt.exists("best"):
         bm = ckpt.metadata("best")

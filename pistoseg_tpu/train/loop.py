@@ -90,7 +90,10 @@ class Trainer:
         log_fn: Optional[Callable[[Dict], None]] = None,
         rng: Optional[jax.Array] = None,
         start_epoch: int = 0,
+        start_step: int = 0,
         items_per_batch: Optional[int] = None,
+        step_checkpoint_every: int = 0,
+        step_checkpoint_fn: Optional[Callable[[TrainState, int, int], None]] = None,
     ):
         self.train_step = train_step
         self.epochs = epochs
@@ -101,7 +104,13 @@ class Trainer:
         self.log_fn = log_fn or (lambda m: None)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.start_epoch = start_epoch
+        # mid-epoch resume: skip the first start_step batches of start_epoch
+        # (batch order and the per-step rng are pure functions of
+        # (seed, epoch, batch index), so the continuation is exact)
+        self.start_step = start_step
         self.items_per_batch = items_per_batch
+        self.step_checkpoint_every = step_checkpoint_every
+        self.step_checkpoint_fn = step_checkpoint_fn
         self.best_metric = -float("inf")
         self.best_epoch = -1
 
@@ -113,17 +122,23 @@ class Trainer:
             timer = StepTimer(name=f"epoch{epoch}", warmup=1)
             n_steps = 0
             loss_sum = 0.0
-            for batch in self.train_iter_fn(epoch):
+            skip = self.start_step if epoch == self.start_epoch else 0
+            for i, batch in enumerate(self.train_iter_fn(epoch)):
+                if i < skip:
+                    continue  # mid-epoch resume: already-trained batches
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
-                # rng keyed by (epoch, step): identical on resume
+                # rng keyed by (epoch, batch index): identical on resume
                 step_rng = jax.random.fold_in(
-                    jax.random.fold_in(self.rng, epoch), n_steps
+                    jax.random.fold_in(self.rng, epoch), i
                 )
                 with timer.step(items=self.items_per_batch or 1):
                     state, metrics = self.train_step(state, batch, step_rng)
                     loss_sum += float(metrics["loss"])  # scalar fetch = sync
                 n_steps += 1
+                if (self.step_checkpoint_every and self.step_checkpoint_fn
+                        and (i + 1) % self.step_checkpoint_every == 0):
+                    self.step_checkpoint_fn(state, epoch, i + 1)
             stats = timer.summary()
             log = {
                 "epoch": epoch,

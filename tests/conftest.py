@@ -11,9 +11,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # 8 virtual devices share ONE physical core here: a big collective can
+    # take minutes to get all 8 threads scheduled.  The default 40s
+    # rendezvous termination hard-aborts the process (seen on the
+    # ReviseNet 8-dev grad step); raise it far beyond any real hang.
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
