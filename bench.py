@@ -197,10 +197,18 @@ def bench_stage4_train():
 
 
 def main():
+    import contextlib
+    import os
+
     from pistoseg_tpu.core.cache import enable_compilation_cache
+    from pistoseg_tpu.core.profiling import device_trace
 
     enable_compilation_cache()
-    infer = bench_infer()
+    # BENCH_PROFILE=<dir> wraps the headline measurement in a jax.profiler
+    # device trace for offline XProf/TensorBoard inspection
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    with device_trace(profile_dir) if profile_dir else contextlib.nullcontext():
+        infer = bench_infer()
     extras = {"infer_mfu": infer["mfu"], "infer_step_ms": infer["step_ms"]}
     try:
         s2 = bench_stage2_train()

@@ -33,6 +33,10 @@ def main() -> int:
         print("\nconfig overrides use dotted keys, e.g. --mosaic.lr=1e-3 "
               "--dataset=bcss; stage paths are plain flags, e.g. "
               "--train_data=...  (see README.md)")
+        print("common stage flags: --pretrained=<weights.pth> (ImageNet "
+              "init, stages 0/2/4/5), --trust_inputs=true (accept "
+              "un-manifested upstream artifacts), --resume=true, "
+              "--<stage>.checkpoint_every_steps=N (mid-epoch snapshots)")
         return 0
     stage = argv[0]
     if stage not in _STAGES:
