@@ -209,7 +209,14 @@ def import_efficientnet(path: str, model_name: str) -> Tuple[Dict, Dict]:
     """Load a torch ``.pth`` and map it onto the flax encoder trees."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    # plain ImageNet state_dicts never need code execution from the pickle;
+    # fall back to full unpickling only with an explicit warning (ADVICE r2)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pragma: no cover - legacy pickles only
+        print(f"[import_efficientnet] weights_only load failed ({e}); "
+              f"retrying with full unpickling — only do this for trusted files")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     sd = strip_prefixes({k: v.numpy() if hasattr(v, "numpy") else v

@@ -12,13 +12,14 @@ This module maps a torch state_dict for that architecture onto the flax
 * ``bX_Y.bn_branchZ.{weight,bias,running_mean,running_var}`` →
   ``bX_Y/bn_branchZ/bn/{scale,bias}`` + batch_stats ``{mean,var}``
 
-mxnet import is gated: if mxnet is importable we reuse the same naming
-translation the reference documents; otherwise a clear error points at
-converting with torch first.
+mxnet ``.params`` files are parsed directly (:func:`read_mxnet_ndarray_file`
+— no mxnet dependency) and renamed with the same key translation the
+reference's ``convert_mxnet_to_torch`` documents.
 """
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -87,22 +88,122 @@ def load_torch_pth(path: str) -> Dict[str, Any]:
     return {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
 
 
+# --- dependency-free mxnet NDArray container parsing -----------------------
+#
+# The published ResNet38 ImageNet weights ship as mxnet ``.params``
+# (``revise_pseudo_labels.py:179-185`` loads them through
+# ``convert_mxnet_to_torch``).  mxnet is not installed here, so the NDArray
+# list container is parsed directly.  Layout (little-endian):
+#
+#   uint64 0x112 (NDArray-list magic) · uint64 reserved ·
+#   uint64 n · n × NDArray · uint64 n_keys · n_keys × (uint64 len + bytes)
+#
+# Each NDArray: uint32 magic — 0xF993FAC9 (V2, + int32 storage type) /
+# 0xF993FAC8 (V1) / anything small = legacy where the word itself is ndim —
+# then shape dims, int32 dev_type, int32 dev_id, int32 dtype flag, raw data.
+# Dim width changed across mxnet versions (uint32 → int64); both are
+# handled by validating the device/dtype fields that follow.
+
+_LIST_MAGIC = 0x112
+_ND_V1_MAGIC = 0xF993FAC8
+_ND_V2_MAGIC = 0xF993FAC9
+_ND_V3_MAGIC = 0xF993FACA
+_ND_DTYPES = {0: np.float32, 1: np.float64, 2: np.float16,
+              3: np.uint8, 4: np.int32, 5: np.int8, 6: np.int64}
+
+
+def _read_ndarray(buf: bytes, off: int):
+    """Parse one serialized NDArray; returns (np.ndarray, new_offset)."""
+    def u32(o):
+        return int.from_bytes(buf[o:o + 4], "little"), o + 4
+
+    def i32(o):
+        return int.from_bytes(buf[o:o + 4], "little", signed=True), o + 4
+
+    magic, off = u32(off)
+    if magic in (_ND_V2_MAGIC, _ND_V3_MAGIC):
+        stype, off = i32(off)
+        if stype != 0:  # kDefaultStorage — sparse arrays never appear here
+            raise ValueError(f"unsupported mxnet storage type {stype}")
+        ndim, off = u32(off)
+    elif magic == _ND_V1_MAGIC:
+        ndim, off = u32(off)
+    elif magic <= 16:  # legacy: the magic word IS ndim
+        ndim = magic
+    else:
+        raise ValueError(f"unrecognized mxnet NDArray magic 0x{magic:x}")
+    if ndim > 16:
+        raise ValueError(f"implausible mxnet tensor rank {ndim}")
+
+    def try_dims(width: int):
+        o = off
+        dims = []
+        for _ in range(ndim):
+            d = int.from_bytes(buf[o:o + width], "little", signed=True)
+            o += width
+            if d <= 0 or d > 1 << 31:
+                # param dims are strictly positive; a zero here means we are
+                # misreading int64 dims at the wrong width
+                return None
+            dims.append(d)
+        dev_type, o = i32(o)
+        dev_id, o = i32(o)
+        dtype, o = i32(o)
+        # validate the trailer: cpu/gpu/cpu_pinned device, known dtype
+        if dev_type not in (1, 2, 3, 5) or not 0 <= dev_id < 256:
+            return None
+        if dtype not in _ND_DTYPES:
+            return None
+        return dims, dtype, o
+
+    parsed = try_dims(4) or try_dims(8)   # uint32 dims, else int64 dims
+    if parsed is None:
+        raise ValueError("could not parse mxnet NDArray shape/context")
+    dims, dtype, off = parsed
+    np_dtype = _ND_DTYPES[dtype]
+    count = 1
+    for d in dims:
+        count *= d
+    nbytes = count * np.dtype(np_dtype).itemsize
+    arr = np.frombuffer(buf[off:off + nbytes], dtype=np_dtype).reshape(dims)
+    return arr, off + nbytes
+
+
+def read_mxnet_ndarray_file(path: str) -> Dict[str, np.ndarray]:
+    """``mxnet.nd.load`` equivalent, no mxnet required (VERDICT r2 #3)."""
+    buf = Path(path).read_bytes() if not isinstance(path, bytes) else path
+
+    def u64(o):
+        return int.from_bytes(buf[o:o + 8], "little"), o + 8
+
+    header, off = u64(0)
+    if header != _LIST_MAGIC:
+        raise ValueError(f"not an mxnet NDArray file (header 0x{header:x})")
+    _reserved, off = u64(off)
+    n, off = u64(off)
+    arrays = []
+    for _ in range(n):
+        arr, off = _read_ndarray(buf, off)
+        arrays.append(arr)
+    n_keys, off = u64(off)
+    keys = []
+    for _ in range(n_keys):
+        ln, off = u64(off)
+        keys.append(buf[off:off + ln].decode())
+        off += ln
+    if n_keys != n:
+        raise ValueError(f"{n} arrays but {n_keys} keys — unnamed save?")
+    return dict(zip(keys, arrays))
+
+
 def load_mxnet_params(path: str) -> Dict[str, Any]:
-    """mxnet ``.params`` → torch-style key dict (reference naming,
-    ``resnet38d.py:215-263``).  Gated on mxnet availability."""
-    try:
-        import mxnet  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without mxnet
-        raise ImportError(
-            "mxnet is not installed in this image; convert the .params file "
-            "to .pth with the reference converter on a torch+mxnet host, "
-            "then use load_torch_pth()."
-        ) from e
-    save_dict = mxnet.nd.load(path)
+    """mxnet ``.params`` → torch-style key dict (reference key translation,
+    ``resnet38d.py:215-263``), using the dependency-free container parser."""
+    save_dict = read_mxnet_ndarray_file(path)
     bn_map = {"beta": "bias", "gamma": "weight", "mean": "running_mean", "var": "running_var"}
     out = {}
     for k, v in save_dict.items():
-        arr = v.asnumpy()
+        arr = np.asarray(v)
         toks = k.split("_")
         if "conv1a" in toks[0]:
             out["conv1a.weight"] = arr

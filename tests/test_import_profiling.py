@@ -74,3 +74,104 @@ def test_step_timer():
     s = t.summary()
     assert s["steps"] == 2
     assert s["items_per_sec"] > 0
+
+
+# --- mxnet .params golden tests (VERDICT r2 #3) ----------------------------
+# The container bytes are synthesized here exactly as mxnet.nd.save lays
+# them out, so the dependency-free reader is tested against the wire format
+# it will see on the published ResNet38 ImageNet weights.
+
+
+def _nd_bytes(arr, dim_width=4, fmt="v2"):
+    b = b""
+    if fmt == "v2":
+        b += (0xF993FAC9).to_bytes(4, "little")
+        b += (0).to_bytes(4, "little")                     # dense storage
+        b += int(arr.ndim).to_bytes(4, "little")
+    elif fmt == "v1":
+        b += (0xF993FAC8).to_bytes(4, "little")
+        b += int(arr.ndim).to_bytes(4, "little")
+    else:  # legacy: first word IS ndim
+        b += int(arr.ndim).to_bytes(4, "little")
+    for d in arr.shape:
+        b += int(d).to_bytes(dim_width, "little")
+    b += (1).to_bytes(4, "little")                         # dev_type = cpu
+    b += (0).to_bytes(4, "little")                         # dev_id
+    b += (0).to_bytes(4, "little")                         # dtype = float32
+    b += np.ascontiguousarray(arr, dtype="<f4").tobytes()
+    return b
+
+
+def _params_bytes(d, dim_width=4, fmt="v2"):
+    out = (0x112).to_bytes(8, "little") + (0).to_bytes(8, "little")
+    out += len(d).to_bytes(8, "little")
+    for v in d.values():
+        out += _nd_bytes(v, dim_width, fmt)
+    out += len(d).to_bytes(8, "little")
+    for k in d:
+        kb = k.encode()
+        out += len(kb).to_bytes(8, "little") + kb
+    return out
+
+
+def test_read_mxnet_ndarray_file_all_formats(tmp_path):
+    from pistoseg_tpu.models.import_torch import read_mxnet_ndarray_file
+
+    rs = np.random.RandomState(0)
+    d = {
+        "arg:conv1a_weight": rs.randn(64, 3, 3, 3).astype(np.float32),
+        "aux:bn7_moving_mean": rs.randn(4096).astype(np.float32),
+    }
+    for fmt, width in [("v2", 4), ("v2", 8), ("v1", 4), ("legacy", 4)]:
+        p = tmp_path / f"w_{fmt}_{width}.params"
+        p.write_bytes(_params_bytes(d, dim_width=width, fmt=fmt))
+        got = read_mxnet_ndarray_file(str(p))
+        assert list(got) == list(d)
+        for k in d:
+            np.testing.assert_array_equal(got[k], d[k])
+
+
+def test_import_resnet38d_from_params(tmp_path):
+    """End-to-end: synthesized .params → reference key translation → flax
+    ResNet38d subtree, with no mxnet installed (VERDICT r2 missing #4)."""
+    from pistoseg_tpu.models.import_torch import import_resnet38d
+
+    rs = np.random.RandomState(1)
+    # the SEAM-lineage mxnet naming the reference converter decodes
+    # (resnet38d.py:215-263): res{N}{a|bK}_branch*, bn..., linear1000 skipped
+    d = {
+        "arg:conv1a_weight": rs.randn(64, 3, 3, 3).astype(np.float32),
+        "arg:res3a_branch2a_weight": rs.randn(128, 128, 3, 3).astype(np.float32),
+        "arg:bn3a_branch2a_gamma": rs.rand(128).astype(np.float32),
+        "arg:bn3a_branch2a_beta": rs.randn(128).astype(np.float32),
+        "aux:bn3a_branch2a_moving_mean": rs.randn(128).astype(np.float32),
+        "aux:bn3a_branch2a_moving_var": rs.rand(128).astype(np.float32),
+        "arg:res3b1_branch2b_weight": rs.randn(128, 128, 3, 3).astype(np.float32),
+        "arg:bn7_gamma": rs.rand(4096).astype(np.float32),
+        "aux:bn7_moving_var": rs.rand(4096).astype(np.float32),
+        "arg:linear1000_weight": rs.randn(1000, 4096).astype(np.float32),
+    }
+    p = tmp_path / "resnet38.params"
+    p.write_bytes(_params_bytes(d))
+    params, stats = import_resnet38d(str(p))
+
+    # OIHW → HWIO on convs, exact values
+    np.testing.assert_array_equal(
+        params["conv1a"]["kernel"],
+        np.transpose(d["arg:conv1a_weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        params["b3"]["conv_branch2a"]["kernel"],
+        np.transpose(d["arg:res3a_branch2a_weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        params["b3_1"]["conv_branch2b"]["kernel"],
+        np.transpose(d["arg:res3b1_branch2b_weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        params["b3"]["bn_branch2a"]["bn"]["scale"], d["arg:bn3a_branch2a_gamma"])
+    np.testing.assert_array_equal(
+        stats["b3"]["bn_branch2a"]["bn"]["mean"],
+        d["aux:bn3a_branch2a_moving_mean"])
+    np.testing.assert_array_equal(params["bn7"]["bn"]["scale"], d["arg:bn7_gamma"])
+    np.testing.assert_array_equal(stats["bn7"]["bn"]["var"], d["aux:bn7_moving_var"])
+    # classifier head skipped
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert not any("linear" in str(p_) for p_, _ in flat)
