@@ -138,10 +138,18 @@ class CanvasStitcher:
     handful of program shapes compile across slides.
     """
 
-    def __init__(self, num_classes: int):
+    def __init__(self, num_classes: int, flush_every: int = 128):
         self.num_classes = num_classes
+        # Host buffers are bounded (ADVICE r2): once a (slide, scale) buffer
+        # reaches ``flush_every`` patches it is folded into a running device
+        # (value, count) canvas and freed — a multi-scale pass over a big
+        # split holds at most flush_every patches per active canvas on the
+        # host instead of the whole epoch.
+        self.flush_every = max(1, flush_every)
         # key -> list of (patch (P,P,C) np, y, x, h, w)
         self._buf: Dict[str, List] = {}
+        # key -> (value, count) device canvases already accumulated
+        self._partial: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._native: Dict[str, Tuple[int, int]] = {}
         self._scales: Dict[str, set] = {}
 
@@ -163,11 +171,12 @@ class CanvasStitcher:
         the top-left h×w window (the reference's ``[:orig_h, :orig_w]``);
         pre-cropped inputs are also accepted."""
         h, w = crop_hw if crop_hw is not None else probs.shape[:2]
-        self._buf.setdefault(self._key(slide, scale), []).append(
-            (probs, int(y), int(x), int(h), int(w))
-        )
+        buf = self._buf.setdefault(self._key(slide, scale), [])
+        buf.append((probs, int(y), int(x), int(h), int(w)))
         self._native[slide] = native_hw
         self._scales.setdefault(slide, set()).add(scale)
+        if len(buf) >= self.flush_every:
+            self._flush(slide, scale)
 
     def add_batch(
         self,
@@ -187,14 +196,17 @@ class CanvasStitcher:
     def slides(self) -> List[str]:
         return sorted(self._native.keys())
 
-    def _scale_canvas(self, slide: str, scale: float):
-        """(value, count) canvases for one (slide, scale) — one device call."""
+    def _flush(self, slide: str, scale: float) -> None:
+        """Fold the host buffer for one (slide, scale) into the running
+        device canvases and free it — one device call."""
+        key = self._key(slide, scale)
+        entries = self._buf.pop(key, [])
+        if not entries:
+            return
         h0, w0 = self._native[slide]
         sh, sw = int(h0 * scale), int(w0 * scale)
-        entries = self._buf[self._key(slide, scale)]
-        p = max(e[0].shape[0] for e in entries)
-        pc = max(e[0].shape[1] for e in entries)
-        p = max(p, pc)
+        p = max(max(e[0].shape[0] for e in entries),
+                max(e[0].shape[1] for e in entries))
         n = _next_pow2(len(entries))
         patches = np.zeros((n, p, p, self.num_classes), np.float32)
         ys = np.zeros((n,), np.int32)
@@ -211,13 +223,25 @@ class CanvasStitcher:
             jnp.asarray(hs), jnp.asarray(ws), jnp.asarray(valid),
             _bucket(sh), _bucket(sw),
         )
-        return value[:sh, :sw], count[:sh, :sw]
+        value, count = value[:sh, :sw], count[:sh, :sw]
+        prev = self._partial.get(key)
+        if prev is not None:
+            value, count = value + prev[0], count + prev[1]
+        self._partial[key] = (value, count)
+
+    def _scale_canvas(self, slide: str, scale: float):
+        """(value, count) canvases for one (slide, scale); frees the
+        buffers and the running canvases for that key."""
+        self._flush(slide, scale)
+        return self._partial.pop(self._key(slide, scale))
 
     def finalize(self, slide: str) -> np.ndarray:
-        """Cross-scale averaged probability map at native size (H, W, C)."""
+        """Cross-scale averaged probability map at native size (H, W, C).
+
+        Consumes the slide's buffers/canvases — call once per slide."""
         h, w = self._native[slide]
         acc = np.zeros((h, w, self.num_classes), np.float32)
-        scales = sorted(self._scales[slide])
+        scales = sorted(self._scales.pop(slide))
         for s in scales:
             value, count = self._scale_canvas(slide, s)
             acc += np.asarray(_avg_and_resize(value, count, h, w))
@@ -228,5 +252,6 @@ class CanvasStitcher:
 
     def reset(self) -> None:
         self._buf.clear()
+        self._partial.clear()
         self._native.clear()
         self._scales.clear()

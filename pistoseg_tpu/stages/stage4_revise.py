@@ -98,17 +98,26 @@ def train_stage4(
     max_steps_per_epoch: Optional[int] = None,
     pretrained: Optional[str] = None,
     trust_inputs: bool = False,
+    resume: bool = False,
 ) -> Dict:
     profile = cfg.profile
     rc = cfg.revise
     mesh = stage_mesh(cfg)
     n_ch = profile.num_classes + 1  # + background channel
 
-    # refuse stale/incomplete upstream artifacts (SURVEY.md §5.3)
-    from pistoseg_tpu.core.manifest import check_upstream
+    # refuse stale/incomplete upstream artifacts (SURVEY.md §5.3), and
+    # cross-check the two producers derive from the SAME training set
+    from pistoseg_tpu.core.manifest import check_lineage, check_upstream
 
-    check_upstream(pmask_dir, "stage3", what="pmask_dir", trust=trust_inputs)
-    check_upstream(cam_dir, "stage0_export", what="cam_dir", trust=trust_inputs)
+    check_lineage(
+        {
+            "pmask_dir": check_upstream(pmask_dir, "stage3", what="pmask_dir",
+                                        trust=trust_inputs),
+            "cam_dir": check_upstream(cam_dir, "stage0_export", what="cam_dir",
+                                      trust=trust_inputs),
+        },
+        "train_data", trust=trust_inputs,
+    )
 
     act_dtype = jnp.bfloat16 if rc.precision == "bf16" else jnp.float32
     model = ReviseNet(num_classes=n_ch, dtype=act_dtype,
@@ -153,11 +162,24 @@ def train_stage4(
         ckpt.save("rfm", {"params": state.params, "batch_stats": state.batch_stats},
                   epoch=epoch, metric=metric,
                   extra={"stage": "stage4", "config": cfg.to_dict()})
+        # full-state snapshot for crash resume (optimizer state + step);
+        # same machinery as stage 2 (VERDICT r2 missing #6)
+        ckpt.save_train_state(state, epoch, metric)
+
+    start_epoch, start_step = 0, 0
+    if resume and ckpt.exists("train_state"):
+        state, start_epoch, start_step = ckpt.restore_train_state(state)
 
     trainer = Trainer(
         train_step, rc.epochs, train_iter, mesh=mesh,
         checkpoint_fn=checkpoint, log_fn=lambda m: logger.log(m),
         rng=fold_in_str(root_key(cfg.seed), "stage4/train"),
+        start_epoch=start_epoch,
+        start_step=start_step,
+        items_per_batch=rc.batch_size,
+        step_checkpoint_every=rc.checkpoint_every_steps,
+        step_checkpoint_fn=lambda s, e, i: ckpt.save_train_state(
+            s, e, step_in_epoch=i),
     )
     trainer.fit(state)
     return {"steps": max_step, "checkpoint_dir": str(ckpt.root)}
@@ -176,6 +198,7 @@ def main(argv=None):
         ),
         pretrained=extras.get("pretrained"),
         trust_inputs=extras.get("trust_inputs", "false").lower() in ("1", "true", "yes"),
+        resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
     )
 
 

