@@ -24,4 +24,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the heavy lane's cost is dominated by
+# re-compiling the big backbones (ResNet38d, UNet++) on every run — cached,
+# repeat runs skip straight to execution (VERDICT r2 weak #3).
+_cache_dir = os.environ.get(
+    "PISTOSEG_TEST_CACHE",
+    os.path.join(os.path.dirname(__file__), "..", ".xla_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 assert len(jax.devices()) == 8, f"expected 8 CPU devices, got {jax.devices()}"

@@ -35,7 +35,8 @@ from pistoseg_tpu.parallel.mesh import (
 from pistoseg_tpu.train.loop import make_train_step
 from pistoseg_tpu.train.state import create_train_state
 
-pytestmark = pytest.mark.heavy  # two compiles of each big model
+# multidev sub-lane: run just these with `pytest -m multidev --override-ini=addopts=`
+pytestmark = [pytest.mark.heavy, pytest.mark.multidev]
 
 
 def _leaves(tree):
@@ -162,3 +163,48 @@ def test_stage4_semantics_8dev_equals_1dev():
     rng = jax.random.PRNGKey(7)
     _assert_semantics_match(state, loss_fn, b, rng)
     _assert_sharded_step_runs(state, loss_fn, b, rng)
+
+
+def test_stage2_full_main_on_8dev_mesh(tmp_path):
+    """VERDICT r2 #9: a full stage main() (loader → Trainer → checkpointing
+    → stitched validation) on the REAL 8-device mesh — the integration seam
+    between the proven 8-dev step semantics and the 1-dev-only stage e2e
+    tests."""
+    import sys
+    from pathlib import Path as _P
+    sys.path.insert(0, str(_P(__file__).parent))
+    from util_synthetic import make_big_eval_set, make_training_patches
+
+    from pistoseg_tpu.core.config import Config, DATASET_PROFILES
+    from pistoseg_tpu.data.mosaic import MosaicSynthesizer
+    from pistoseg_tpu.stages.stage1_split import split_images
+    from pistoseg_tpu.stages.stage2_mosaic import train_stage2
+
+    root = tmp_path
+    train = root / "train"
+    make_training_patches(train, "wsss4luad", n_per_class=3, size=64)
+    big = make_big_eval_set(root / "valid", "wsss4luad", n_images=1, size=96)
+    profile = DATASET_PROFILES["wsss4luad"]
+    synth = MosaicSynthesizer(train, profile, patch_num=2, tile_size=16)
+    mosaic_dir = root / "mosaic"
+    synth.write_range(mosaic_dir, 0, 16)
+
+    cfg = Config()
+    cfg.mesh.shape = (8,)          # the real virtual mesh — not (1,)
+    cfg.mosaic.patch_size = 32
+    cfg.mosaic.batch_size = 16     # 2 per device
+    cfg.mosaic.epochs = 1
+    cfg.mosaic.tta = False
+    cfg.infer.batch_size = 8
+    cfg.infer.tta = False
+    patches = root / "val_patches"
+    split_images(cfg, big, patches, patch_size=64, stride=32, scales=(1.0,))
+
+    log_dir = root / "s2"
+    r = train_stage2(cfg, str(mosaic_dir), val_data=str(patches),
+                     val_big_root=str(big), log_dir=str(log_dir),
+                     max_steps_per_epoch=2)
+    ckpt_dir = log_dir / "checkpoints"
+    assert (ckpt_dir / "last").exists()
+    assert (ckpt_dir / "best").exists()
+    assert 0.0 <= r["best_metric"] <= 1.0

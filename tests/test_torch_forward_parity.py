@@ -266,3 +266,211 @@ def test_rfm_full_forward_parity():
         np.testing.assert_allclose(
             np.asarray(g), _nhwc(r), atol=5e-4, rtol=5e-4, err_msg=name
         )
+
+
+# --- UNet++/scse decoder parity vs smp 0.3.0 (VERDICT r2 #2) ---------------
+# The stage-2/5 workhorse decoder re-executed functionally in torch from
+# smp's UnetPlusPlusDecoder/SCSEModule/SegmentationHead spec
+# (/root/reference/models/mosaic_module.py:78-86 instantiates it); flax
+# weights are exported and activations must agree <=1e-4 end-to-end
+# (encoder taps -> dense grid -> head).  No smp/torch code is copied — the
+# forward is re-derived from the architecture definition.
+
+_ENCODER_TAPS = {
+    # smp encoder out_channels (without the input level), reductions 2..32
+    "efficientnet-b0": (32, 24, 40, 112, 320),
+    "efficientnet-b3": (40, 32, 48, 136, 384),
+}
+_DCH = (256, 128, 64, 32, 16)
+
+
+def _decoder_sd(params, stats):
+    """flax UnetPlusPlusDecoder tree → torch-style state dict."""
+    sd = {}
+    for block, bp in params.items():
+        for sub, sp in bp.items():
+            if sub.startswith("conv"):
+                w = np.transpose(np.asarray(sp["Conv_0"]["kernel"]), (3, 2, 0, 1))
+                sd[f"{block}.{sub}.weight"] = torch.tensor(w)
+                bn = sp["BatchNorm_0"]
+                st = stats[block][sub]["BatchNorm_0"]
+                sd[f"{block}.{sub}.bn.weight"] = torch.tensor(np.asarray(bn["scale"]))
+                sd[f"{block}.{sub}.bn.bias"] = torch.tensor(np.asarray(bn["bias"]))
+                sd[f"{block}.{sub}.bn.running_mean"] = torch.tensor(np.asarray(st["mean"]))
+                sd[f"{block}.{sub}.bn.running_var"] = torch.tensor(np.asarray(st["var"]))
+            else:  # attention1 / attention2 (scse)
+                for conv in ("cse_reduce", "cse_expand", "sse"):
+                    w = np.transpose(np.asarray(sp[conv]["kernel"]), (3, 2, 0, 1))
+                    sd[f"{block}.{sub}.{conv}.weight"] = torch.tensor(w)
+                    sd[f"{block}.{sub}.{conv}.bias"] = torch.tensor(
+                        np.asarray(sp[conv]["bias"]))
+    return sd
+
+
+def t_scse(x, sd, p):
+    """smp SCSEModule: x·sigmoid(cSE(pool)) + x·sigmoid(sSE(x))."""
+    s = x.mean(dim=(2, 3), keepdim=True)
+    s = F.relu(F.conv2d(s, sd[f"{p}.cse_reduce.weight"], sd[f"{p}.cse_reduce.bias"]))
+    s = torch.sigmoid(F.conv2d(s, sd[f"{p}.cse_expand.weight"], sd[f"{p}.cse_expand.bias"]))
+    q = torch.sigmoid(F.conv2d(x, sd[f"{p}.sse.weight"], sd[f"{p}.sse.bias"]))
+    return x * s + x * q
+
+
+def t_unetpp_block(x, skip, sd, name):
+    """smp DecoderBlock: nearest ×2 → [concat skip → attention1] →
+    Conv2dReLU ×2 → attention2."""
+    x = F.interpolate(x, scale_factor=2, mode="nearest")
+    if skip is not None:
+        x = torch.cat([x, skip], dim=1)
+        x = t_scse(x, sd, f"{name}.attention1")
+    x = F.relu(t_bn(F.conv2d(x, sd[f"{name}.conv1.weight"], padding=1),
+                    sd, f"{name}.conv1.bn"))
+    x = F.relu(t_bn(F.conv2d(x, sd[f"{name}.conv2.weight"], padding=1),
+                    sd, f"{name}.conv2.bn"))
+    return t_scse(x, sd, f"{name}.attention2")
+
+
+def t_unetpp_decoder(feats, sd):
+    """smp UnetPlusPlusDecoder.forward re-executed functionally (dense
+    grid over reversed features; final block has no skip)."""
+    features = feats[::-1]
+    depth = len(features) - 1
+    dense = {}
+    for layer_idx in range(depth):
+        for depth_idx in range(depth - layer_idx):
+            li = depth_idx + layer_idx
+            if layer_idx == 0:
+                dense[(depth_idx, li)] = t_unetpp_block(
+                    features[depth_idx], features[depth_idx + 1],
+                    sd, f"x_{depth_idx}_{li}")
+            else:
+                cat = torch.cat(
+                    [dense[(idx, li)] for idx in range(depth_idx + 1, li + 1)]
+                    + [features[li + 1]], dim=1)
+                dense[(depth_idx, li)] = t_unetpp_block(
+                    dense[(depth_idx, li - 1)], cat, sd, f"x_{depth_idx}_{li}")
+    dense[(0, depth)] = t_unetpp_block(dense[(0, depth - 1)], None,
+                                       sd, f"x_0_{depth}")
+    return dense[(0, depth)]
+
+
+def _smp_channel_plan(encoder_channels, decoder_channels):
+    """smp UnetPlusPlusDecoder.__init__'s channel bookkeeping, re-derived:
+    returns {block_name: (conv1_in, out_ch)} for every dense-grid block."""
+    enc = list(encoder_channels)[::-1]
+    in_channels = [enc[0]] + list(decoder_channels[:-1])
+    skip_channels = enc[1:] + [0]
+    out_channels = list(decoder_channels)
+    plan = {}
+    for layer_idx in range(len(in_channels) - 1):
+        for depth_idx in range(layer_idx + 1):
+            if depth_idx == 0:
+                in_ch = in_channels[layer_idx]
+                skip_ch = skip_channels[layer_idx] * (layer_idx + 1)
+                out_ch = out_channels[layer_idx]
+            else:
+                out_ch = skip_channels[layer_idx]
+                skip_ch = skip_channels[layer_idx] * (layer_idx + 1 - depth_idx)
+                in_ch = skip_channels[layer_idx - 1]
+            plan[f"x_{depth_idx}_{layer_idx}"] = (in_ch + skip_ch, out_ch)
+    plan[f"x_0_{len(in_channels) - 1}"] = (in_channels[-1], out_channels[-1])
+    return plan
+
+
+@pytest.mark.parametrize("encoder", ["efficientnet-b0", "efficientnet-b3"])
+def test_unetpp_scse_decoder_forward_parity(encoder):
+    from pistoseg_tpu.models.unetpp import UnetPlusPlusDecoder
+
+    taps = _ENCODER_TAPS[encoder]
+    rs = np.random.RandomState(3)
+    base = 32  # reduction-2 tap resolution (input would be 64²)
+    feats = [jnp.asarray(rs.randn(2, base // (2 ** i), base // (2 ** i), c)
+                         .astype(np.float32) * 0.5)
+             for i, c in enumerate(taps)]
+
+    decoder = UnetPlusPlusDecoder(_DCH, "scse", jnp.float32)
+    variables = decoder.init(jax.random.PRNGKey(0), feats)
+
+    # randomize BN affine + running stats so BN crosswiring can't hide
+    def rand_like(path, v):
+        leaf = str(path[-1])
+        if "var" in leaf:
+            return jnp.asarray(rs.rand(*v.shape).astype(np.float32) + 0.5)
+        if leaf in ("scale", "bias", "mean"):
+            return jnp.asarray(rs.randn(*v.shape).astype(np.float32) * 0.3 + 1.0)
+        return v
+    variables = jax.tree_util.tree_map_with_path(rand_like, variables)
+
+    # (a) wiring check: every flax conv1 kernel matches smp's independently
+    # re-derived (in+skip, out) channel plan — the dense-grid out-channel
+    # rule is the subtle part (smp decoder.py __init__)
+    plan = _smp_channel_plan(taps, _DCH)
+    p = variables["params"]
+    assert set(p.keys()) == set(plan.keys())
+    for name, (cin, cout) in plan.items():
+        k1 = p[name]["conv1"]["Conv_0"]["kernel"]
+        assert k1.shape == (3, 3, cin, cout), (
+            f"{name}: flax conv1 {k1.shape} != smp plan (3, 3, {cin}, {cout})")
+        k2 = p[name]["conv2"]["Conv_0"]["kernel"]
+        assert k2.shape == (3, 3, cout, cout)
+
+    # (b) numerical parity: flax decoder == functional-torch smp decoder
+    ref = decoder.apply(variables, feats, train=False)
+    sd = _decoder_sd(variables["params"], variables["batch_stats"])
+    t_feats = [_t(np.asarray(f)) for f in feats]
+    with torch.no_grad():
+        t_out = t_unetpp_decoder(t_feats, sd)
+    np.testing.assert_allclose(np.asarray(ref), _nhwc(t_out),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stage2_loss_value_parity_fixed_batch():
+    """Stage-2 training loss on a fixed batch: flax decoder+head+Dice vs
+    the same computation re-executed in torch (smp DiceLoss multiclass,
+    from_logits, ignore_index=3 — mosaic_module.py:65-68)."""
+    from pistoseg_tpu.losses.segmentation import dice_loss
+    from pistoseg_tpu.models.unetpp import UnetPlusPlusDecoder
+
+    taps = _ENCODER_TAPS["efficientnet-b0"]
+    rs = np.random.RandomState(4)
+    base = 16
+    feats = [jnp.asarray(rs.randn(2, base // (2 ** i), base // (2 ** i), c)
+                         .astype(np.float32) * 0.5)
+             for i, c in enumerate(taps)]
+    decoder = UnetPlusPlusDecoder(_DCH, "scse", jnp.float32)
+    variables = decoder.init(jax.random.PRNGKey(1), feats)
+    y = decoder.apply(variables, feats, train=False)
+
+    import flax.linen as nn
+    head = nn.Conv(3, (3, 3), padding="SAME")
+    hv = head.init(jax.random.PRNGKey(2), y)
+    logits = head.apply(hv, y)
+    mask = jnp.asarray(rs.randint(0, 4, (2, base * 2, base * 2)), jnp.int32)
+    ours = float(dice_loss(logits, mask, ignore_index=3))
+
+    # torch side: same decoder weights, same head, smp's DiceLoss formula
+    sd = _decoder_sd(variables["params"], variables["batch_stats"])
+    with torch.no_grad():
+        t_y = t_unetpp_decoder([_t(np.asarray(f)) for f in feats], sd)
+        hw = torch.tensor(np.transpose(
+            np.asarray(hv["params"]["kernel"]), (3, 2, 0, 1)))
+        hb = torch.tensor(np.asarray(hv["params"]["bias"]))
+        t_logits = F.conv2d(t_y, hw, hb, padding=1)
+        # smp DiceLoss(mode='multiclass', from_logits=True, ignore_index=3):
+        # softmax probs, one-hot gt with ignored pixels zeroed, per-class
+        # score aggregated over batch+space, classes absent from the
+        # target contribute 0 (same derivation as
+        # test_dice_loss_matches_smp_formula, now driven end-to-end)
+        t_mask = torch.tensor(np.asarray(mask), dtype=torch.long)
+        probs = t_logits.softmax(dim=1)
+        c = probs.shape[1]
+        valid = (t_mask != 3).float().unsqueeze(1)
+        oh = F.one_hot(torch.where(t_mask == 3, 0, t_mask), c)
+        oh = oh.permute(0, 3, 1, 2).float() * valid
+        pr = probs * valid
+        inter = (pr * oh).sum(dim=(0, 2, 3))
+        card = (pr + oh).sum(dim=(0, 2, 3))
+        dice = (2 * inter) / card.clamp_min(1e-7)
+        seen = (oh.sum(dim=(0, 2, 3)) > 0).float()
+        theirs = float(((1.0 - dice) * seen).mean())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
