@@ -135,21 +135,58 @@ class UnetPlusPlusDecoder(nn.Module):
 
 
 class UnetPlusPlus(nn.Module):
-    """Full segmentation model: EfficientNet encoder → UNet++ → class logits."""
+    """Full segmentation model: EfficientNet encoder → UNet++ → class logits.
+
+    setup-style so the parts are addressable: ``__call__`` is the reference
+    forward; ``fast_eval`` is the inference path that runs the low-channel
+    decoder columns in a space-to-depth layout (numerically equivalent —
+    see ``unetpp_fast.py``).  Parameter names (encoder/decoder/head) are
+    identical between both paths, so checkpoints are interchangeable.
+    """
 
     num_classes: int = 3
     encoder_name: str = "efficientnet-b0"
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     attention: Optional[str] = "scse"
     dtype: Any = jnp.float32
+    # fast_eval: run decoder columns whose widest conv has ≤ this many output
+    # channels in space-to-depth layout (0 disables)
+    s2d_threshold: int = 32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = EfficientNetEncoder(self.encoder_name, dtype=self.dtype,
-                                    name="encoder")(x, train=train)
-        y = UnetPlusPlusDecoder(
-            tuple(self.decoder_channels), self.attention, self.dtype, name="decoder"
-        )(feats, train=train)
+    def setup(self):
+        self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)
+        self.decoder = UnetPlusPlusDecoder(
+            tuple(self.decoder_channels), self.attention, self.dtype
+        )
         # head + logits in f32 for loss stability
-        return nn.Conv(self.num_classes, (3, 3), padding="SAME",
-                       name="head")(y.astype(jnp.float32))
+        self.head = nn.Conv(self.num_classes, (3, 3), padding="SAME")
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feats = self.encoder(x, train=train)
+        y = self.decoder(feats, train=train)
+        return self.head(y.astype(jnp.float32))
+
+    def encode(self, x: jnp.ndarray, train: bool = False):
+        return self.encoder(x, train=train)
+
+    def fast_eval(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inference forward with the space-to-depth decoder re-layout.
+
+        The smp-parity decoder's ≤32-channel 3×3 convs fill ≤3/128 of the
+        MXU's contraction tiles and ≤¼ of its output lanes (PERF.md); this
+        path reshapes those columns to (H/2, W/2, 4C) with exactly
+        rearranged kernels — same math, ~4× better lane utilization.
+        """
+        from pistoseg_tpu.models.unetpp_fast import fast_decoder_head
+
+        feats = self.encoder(x, train=False)
+        return fast_decoder_head(
+            self.decoder.variables,
+            self.head.variables,
+            feats,
+            tuple(self.decoder_channels),
+            self.attention,
+            self.num_classes,
+            threshold=self.s2d_threshold,
+            dtype=self.dtype,
+        )
