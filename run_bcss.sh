@@ -31,6 +31,7 @@ python -m pistoseg_tpu.stages.stage1_split $DS \
 
 python -m pistoseg_tpu.stages.stage2_mosaic $DS \
     --mosaic_data=$DATA/mosaic \
+    --shard_cache=$DATA/mosaic_shards \
     --val_data=$DATA/validation/patches_224_224 \
     --val_big_root=$DATA/validation \
     --log_dir=$LOGS/stage2 \

@@ -46,8 +46,11 @@ python -m pistoseg_tpu.stages.stage1_split $DS \
     --patch_size=224 --stride=112 --scales=1.0,1.25,1.5,1.75,2.0
 
 # ---- stage 2: preliminary segmentation on mosaics
+# val split: 224/112 5-scale (reference run.sh:43 --val-data=.../patches_224_112)
+# shard_cache: pre-decoded native array shards for the hot train loop
 python -m pistoseg_tpu.stages.stage2_mosaic $DS \
     --mosaic_data=$DATA/mosaic \
+    --shard_cache=$DATA/mosaic_shards \
     --val_data=$DATA/validation/patches_224_112 \
     --val_big_root=$DATA/validation \
     --log_dir=$LOGS/stage2 \
@@ -74,9 +77,10 @@ python -m pistoseg_tpu.stages.stage4b_infer_revise $DS \
 
 # ---- stage 5: precise segmentation on refined masks (refine/cam default,
 #      run.sh:31) + final test
+# val split: 224/56 single-scale (reference run.sh:8,64 VAL_PATCH_PATH)
 python -m pistoseg_tpu.stages.stage5_train $DS \
     --train_data=$DATA/training --mask_dir=$LOGS/stage4/refine/cam \
-    --val_data=$DATA/validation/patches_224_112 \
+    --val_data=$DATA/validation/patches_224_56 \
     --val_big_root=$DATA/validation \
     --log_dir=$LOGS/stage5 \
     ${B3:-}
