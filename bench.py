@@ -80,6 +80,7 @@ def _flops_of(jitted, *args) -> float:
 
 def bench_infer():
     from pistoseg_tpu.models.factory import create_segmentation_model
+    from pistoseg_tpu.models.unetpp_fast import make_fast_infer
 
     batch = 512
     model = create_segmentation_model("UnetPlusPlus", "efficientnet-b0", 3,
@@ -91,15 +92,19 @@ def bench_infer():
         )
     variables = jax.device_put(variables, jax.devices()[0])
 
+    # production inference path (stage 3/5): BN-folded space-to-depth
+    # decoder, prepared once per checkpoint (unetpp_fast.make_fast_infer)
+    infer, prep = make_fast_infer(model, variables)
+    prep = jax.device_put(prep, jax.devices()[0])
+
     @jax.jit
-    def forward(v, x):
-        out = model.apply(v, x, train=False)
-        return jnp.sum(out[0, 0, 0])
+    def forward(v, p, x):
+        return jnp.sum(infer(v, p, x)[0, 0, 0])
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch, SIZE, SIZE, 3), jnp.bfloat16)
-    float(forward(variables, x))  # compile
-    dt = _timed(forward, variables, x)
-    flops = _flops_of(forward, variables, x)
+    float(forward(variables, prep, x))  # compile
+    dt = _timed(forward, variables, prep, x)
+    flops = _flops_of(forward, variables, prep, x)
     return {
         "patches_per_sec": batch / dt,
         "step_ms": 1000.0 * dt,

@@ -150,8 +150,10 @@ class UnetPlusPlus(nn.Module):
     attention: Optional[str] = "scse"
     dtype: Any = jnp.float32
     # fast_eval: run decoder columns whose widest conv has ≤ this many output
-    # channels in space-to-depth layout (0 disables)
-    s2d_threshold: int = 32
+    # channels in space-to-depth layout (0 disables).  16 measured fastest on
+    # v5e: only the final 224² column re-lays out; wider columns lose more to
+    # the ×4 FLOP blowup on concat convs than they gain in lane utilization.
+    s2d_threshold: int = 16
 
     def setup(self):
         self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)

@@ -27,13 +27,22 @@ each (ki, a_o) maps to a unique (d_i, a_i) so there are no collisions, and
 the impossible corner taps (|offset| = 2) stay zero, which makes SAME
 padding in block space agree with SAME padding in pixel space.
 
+Structure: :func:`prepare_fast_vars` folds eval-mode BatchNorm into the
+convs and performs every kernel re-layout ONCE (call it eagerly, outside
+jit — the 36 strided scatters per block kernel are not something to
+re-execute on the device every forward); :func:`fast_forward` is the
+pure jit-friendly forward over the prepared tree.  :func:`make_fast_infer`
+bundles both for production (stage-3 inference, bench).
+``UnetPlusPlus.fast_eval`` routes through the same code with the
+preparation traced inline, so the parity tests cover one code path.
+
 This module is pure functions over the flax variable tree of
 ``unetpp.UnetPlusPlusDecoder`` — training and checkpoints are untouched.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +85,38 @@ def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return blk
 
 
+def s2d_kernel_collapsed(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) → (3, 3, Cin, 4Cout) for a phase-identical input.
+
+    When the conv input is a ×2-nearest upsample (every 2×2 block of
+    pixels equal), the four input phases of the s2d layout coincide, so
+    the (3,3,4Cin,4Cout) block kernel collapses over its input phases:
+    the half-res source feeds the conv directly with NO ×4 FLOP blowup
+    (this is exactly the full-res conv's FLOP count, at 4× the output
+    lanes).  Accumulates taps that alias to the same half-res offset."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3
+    blk = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for ki in range(3):
+        for kj in range(3):
+            for ao in range(2):
+                for bo in range(2):
+                    di, _ = divmod(ao + ki - 1, 2)
+                    dj, _ = divmod(bo + kj - 1, 2)
+                    po = ao * 2 + bo
+                    blk = blk.at[di + 1, dj + 1, :, po::4].add(w[ki, kj])
+    return blk
+
+
+def sse_s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, C, 1) sSE gate kernel → (1, 1, 4C, 4) per-phase block kernel."""
+    c = w.shape[2]
+    blk = jnp.zeros((1, 1, 4 * c, 4), w.dtype)
+    for p in range(4):
+        blk = blk.at[0, 0, p::4, p].set(w[0, 0, :, 0])
+    return blk
+
+
 def _rep4(v: jnp.ndarray) -> jnp.ndarray:
     """Per-channel vector → per-s2d-channel (channel-major: repeat each)."""
     return jnp.repeat(v, 4)
@@ -87,69 +128,169 @@ def _fold_bn(kernel, bn_p, bn_s):
     return kernel * inv, bn_p["bias"] - bn_s["mean"] * inv
 
 
-def _conv_bn_relu(pv: Dict, bv: Dict, x: jnp.ndarray, s2d: bool) -> jnp.ndarray:
-    k, b = _fold_bn(pv["Conv_0"]["kernel"], pv["BatchNorm_0"], bv["BatchNorm_0"])
-    if s2d:
-        k, b = s2d_kernel(k), _rep4(b)
-    y = lax.conv_general_dilated(x, k.astype(x.dtype), (1, 1), "SAME",
-                                 dimension_numbers=_DN)
-    return nn_relu(y + b.astype(y.dtype))
-
-
 def nn_relu(x):
     return jnp.maximum(x, 0)
 
 
-def _scse(pv: Dict, x: jnp.ndarray, s2d: bool) -> jnp.ndarray:
-    """smp 'scse' attention, evaluated in either layout (unetpp.SCSE)."""
-    dt = x.dtype
+# --- preparation (run eagerly, once per checkpoint) -------------------------
+
+
+def _col_use_s2d(
+    encoder_channels: Sequence[int],
+    decoder_channels: Sequence[int],
+    threshold: int,
+) -> Dict[int, bool]:
+    """Which decoder columns run in s2d layout.
+
+    A column runs s2d when every conv output width in it is ≤ threshold
+    (column li's convs are dch[li] wide on the main row and
+    encoder-tap-wide on dense rows)."""
+    taps = list(encoder_channels)[::-1]        # deepest first, f(32)..f(2)
+    depth = len(taps) - 1
+    dch = list(decoder_channels)
+
+    def col_widths(li):
+        if li == depth:
+            return [dch[li]]
+        return [dch[li], taps[li + 1]]
+
+    return {li: (threshold > 0 and max(col_widths(li)) <= threshold)
+            for li in range(depth + 1)}
+
+
+def _prep_conv(pv: Dict, bv: Dict, s2d: bool, dtype,
+               collapse: bool = False) -> Dict[str, jnp.ndarray]:
+    k, b = _fold_bn(pv["Conv_0"]["kernel"].astype(jnp.float32),
+                    jax.tree.map(lambda a: a.astype(jnp.float32), pv["BatchNorm_0"]),
+                    jax.tree.map(lambda a: a.astype(jnp.float32), bv["BatchNorm_0"]))
     if s2d:
-        c4 = x.shape[-1]
-        c = c4 // 4
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))      # (N, 4C)
-        pooled = pooled.reshape(-1, c, 4).mean(-1).astype(dt)      # (N, C)
+        k, b = (s2d_kernel_collapsed(k) if collapse else s2d_kernel(k)), _rep4(b)
+    return {"kernel": k.astype(dtype), "bias": b.astype(dtype)}
+
+
+def _prep_scse(pv: Dict, s2d: bool, dtype) -> Dict[str, jnp.ndarray]:
+    out = {
+        "cse_reduce_w": pv["cse_reduce"]["kernel"][0, 0].astype(dtype),
+        "cse_reduce_b": pv["cse_reduce"]["bias"].astype(dtype),
+        "cse_expand_w": pv["cse_expand"]["kernel"][0, 0].astype(dtype),
+        "cse_expand_b": pv["cse_expand"]["bias"].astype(dtype),
+        "sse_b": pv["sse"]["bias"].astype(dtype),
+    }
+    w = pv["sse"]["kernel"]
+    out["sse_w"] = (sse_s2d_kernel(w) if s2d else w).astype(dtype)
+    return out
+
+
+def prepare_fast_vars(
+    decoder_vars: Dict,
+    head_vars: Dict,
+    encoder_channels: Sequence[int],
+    decoder_channels: Sequence[int],
+    attention: Optional[str],
+    threshold: int = 32,
+    dtype: Any = jnp.float32,
+) -> Dict:
+    """Fold BN and re-layout kernels for :func:`fast_forward`.
+
+    Call OUTSIDE jit: the s2d kernel rearrangements are dozens of strided
+    scatters per block — done here once, they cost nothing per step."""
+    p, bs = decoder_vars["params"], decoder_vars["batch_stats"]
+    use_s2d = _col_use_s2d(encoder_channels, decoder_channels, threshold)
+    prep: Dict = {}
+    depth_ = len(list(encoder_channels)) - 1
+    for name, bp in p.items():
+        li = int(name.split("_")[-1])
+        s2d = use_s2d[li]
+        # the no-skip final block's conv1 input is a pure ×2 upsample:
+        # feed the half-res source straight in via the collapsed kernel
+        collapse1 = s2d and li == depth_
+        blk: Dict = {
+            "conv1": _prep_conv(bp["conv1"], bs[name]["conv1"], s2d, dtype,
+                                collapse=collapse1),
+            "conv2": _prep_conv(bp["conv2"], bs[name]["conv2"], s2d, dtype),
+        }
+        if attention == "scse":
+            if "attention1" in bp:
+                blk["attention1"] = _prep_scse(bp["attention1"], s2d, dtype)
+            blk["attention2"] = _prep_scse(bp["attention2"], s2d, dtype)
+        prep[name] = blk
+    depth = len(list(encoder_channels)) - 1
+    hk = head_vars["params"]["kernel"].astype(jnp.float32)
+    hb = head_vars["params"]["bias"].astype(jnp.float32)
+    if use_s2d[depth]:
+        prep["head"] = {"kernel": s2d_kernel(hk), "bias": _rep4(hb)}
     else:
-        c = x.shape[-1]
-        pooled = jnp.mean(x, axis=(1, 2))
+        prep["head"] = {"kernel": hk, "bias": hb}
+    return prep
+
+
+# --- forward (pure over the prepared tree; jit-friendly) --------------------
+
+
+def _conv_bias_relu(prep_conv: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = lax.conv_general_dilated(x, prep_conv["kernel"].astype(x.dtype), (1, 1),
+                                 "SAME", dimension_numbers=_DN)
+    return nn_relu(y + prep_conv["bias"].astype(y.dtype))
+
+
+def global_mean(arr: jnp.ndarray, s2d_layout: bool) -> jnp.ndarray:
+    """(N, C) f32 global spatial mean of a map in either layout."""
+    m = jnp.mean(arr.astype(jnp.float32), axis=(1, 2))
+    if s2d_layout:
+        m = m.reshape(m.shape[0], -1, 4).mean(-1)      # fold 2×2 phases
+    return m
+
+
+def _scse(pv: Dict, x: jnp.ndarray, s2d: bool,
+          pooled: jnp.ndarray) -> jnp.ndarray:
+    """smp 'scse' attention, evaluated in either layout (unetpp.SCSE).
+
+    ``pooled`` is the (N, C) f32 global mean of ``x`` in REFERENCE layout —
+    passed in so the caller can assemble it from cached per-part means
+    (mean of a channel concat = concat of part means; mean of a ×2-nearest
+    upsample = mean of its half-res source) instead of re-reading the
+    full-resolution map from HBM for every attention."""
+    dt = x.dtype
+    c = x.shape[-1] // 4 if s2d else x.shape[-1]
+    pooled = pooled.astype(dt)
     # cSE: 1×1 convs on the pooled vector are plain matmuls
-    r = pv["cse_reduce"]
-    s = nn_relu(pooled @ r["kernel"][0, 0].astype(dt) + r["bias"].astype(dt))
-    e = pv["cse_expand"]
-    s = s @ e["kernel"][0, 0].astype(dt) + e["bias"].astype(dt)
+    s = nn_relu(pooled @ pv["cse_reduce_w"].astype(dt) + pv["cse_reduce_b"].astype(dt))
+    s = s @ pv["cse_expand_w"].astype(dt) + pv["cse_expand_b"].astype(dt)
     cscale = jax.nn.sigmoid(s)                                     # (N, C)
     # sSE: per-pixel 1×1 → sigmoid gate
-    w = pv["sse"]["kernel"]                                        # (1,1,C,1)
-    b = pv["sse"]["bias"]
+    q = lax.conv_general_dilated(x, pv["sse_w"].astype(dt), (1, 1), "SAME",
+                                 dimension_numbers=_DN) + pv["sse_b"].astype(dt)
     if s2d:
-        blk = jnp.zeros((1, 1, 4 * c, 4), w.dtype)
-        for p in range(4):
-            blk = blk.at[0, 0, p::4, p].set(w[0, 0, :, 0])
-        q = lax.conv_general_dilated(x, blk.astype(dt), (1, 1), "SAME",
-                                     dimension_numbers=_DN) + b.astype(dt)
+        # gate = cscale (per n,c) + sgate (per n,h,w,phase); apply in one
+        # fused broadcast over the (c, phase) split — no tile materialized
+        n, h, w, _ = x.shape
         sgate = jax.nn.sigmoid(q)                                  # (N,h,w,4)
-        cse = x * jnp.repeat(cscale, 4, axis=-1)[:, None, None, :]
-        sse = x * jnp.tile(sgate, (1, 1, 1, c))
-    else:
-        q = lax.conv_general_dilated(x, w.astype(dt), (1, 1), "SAME",
-                                     dimension_numbers=_DN) + b.astype(dt)
-        cse = x * cscale[:, None, None, :]
-        sse = x * jax.nn.sigmoid(q)
-    return cse + sse
+        gate = (cscale[:, None, None, :, None]
+                + sgate[:, :, :, None, :])                         # (N,h,w,c,4)
+        return (x.reshape(n, h, w, c, 4) * gate).reshape(x.shape)
+    return x * (cscale[:, None, None, :] + jax.nn.sigmoid(q))
 
 
-def _block(pv: Dict, bv: Dict, x: jnp.ndarray,
-           skips: Sequence[jnp.ndarray], attention: Optional[str],
-           s2d: bool) -> jnp.ndarray:
-    """DecoderBlock forward on an already-upsampled input (either layout)."""
+def _block(blk: Dict, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
+           attention: Optional[str], s2d: bool,
+           pooled1: Optional[jnp.ndarray], need_mean: bool):
+    """DecoderBlock forward on an already-upsampled input (either layout).
+
+    ``pooled1``: precomputed (N, ΣC) f32 mean of the concat input for
+    attention1 (None when there are no skips / no attention).  Returns
+    ``(out, mean_out)``: ``mean_out`` is the f32 mean of the block OUTPUT
+    (post-attention2) when ``need_mean`` — cached by the caller so
+    downstream attention1s never re-read this map for pooling."""
     if skips:
         x = jnp.concatenate([x] + [s.astype(x.dtype) for s in skips], axis=-1)
         if attention == "scse":
-            x = _scse(pv["attention1"], x, s2d)
-    x = _conv_bn_relu(pv["conv1"], bv["conv1"], x, s2d)
-    x = _conv_bn_relu(pv["conv2"], bv["conv2"], x, s2d)
+            x = _scse(blk["attention1"], x, s2d, pooled1)
+    x = _conv_bias_relu(blk["conv1"], x)
+    x = _conv_bias_relu(blk["conv2"], x)
     if attention == "scse":
-        x = _scse(pv["attention2"], x, s2d)
-    return x
+        x = _scse(blk["attention2"], x, s2d, global_mean(x, s2d))
+    mean_out = global_mean(x, s2d) if need_mean else None
+    return x, mean_out
 
 
 def _upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
@@ -157,6 +298,101 @@ def _upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
     return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def fast_forward(
+    prep: Dict,
+    features: Sequence[jnp.ndarray],
+    decoder_channels: Sequence[int],
+    attention: Optional[str],
+    threshold: int = 32,
+    dtype: Any = jnp.float32,
+) -> jnp.ndarray:
+    """UNet++ decoder + head forward over a prepared tree.
+
+    Mirrors ``unetpp.UnetPlusPlusDecoder.__call__`` exactly (same smp
+    wiring, ``mosaic_module.py:78-86``); columns selected by
+    :func:`_col_use_s2d` run in the space-to-depth layout.
+    """
+    feats = list(features)[::-1]               # deepest first
+    depth = len(feats) - 1
+    use_s2d = _col_use_s2d([f.shape[-1] for f in features],
+                           decoder_channels, threshold)
+
+    dense: Dict = {}        # normal-layout outputs (input to the next column)
+    dense_s2d: Dict = {}    # s2d-layout outputs (skips within an s2d column)
+    feats_s2d: Dict = {}    # s2d view of encoder skips, cached per level
+    means: Dict = {}        # map key → (N, C) f32 global mean, computed once
+
+    scse = attention == "scse"
+
+    def feat_skip(li):
+        if use_s2d[li]:
+            if li not in feats_s2d:
+                feats_s2d[li] = space_to_depth(feats[li + 1].astype(dtype))
+            return feats_s2d[li]
+        return feats[li + 1]
+
+    def feat_mean(idx):
+        key = ("feat", idx)
+        if key not in means:
+            means[key] = global_mean(feats[idx], False)
+        return means[key]
+
+    def run(d, li, x_half, skips, pooled_parts, need_mean):
+        s2d = use_s2d[li]
+        # ×2 nearest upsample: in s2d layout every phase equals the source
+        # pixel, so the upsample is a channel repeat on the HALF-res grid —
+        # and with no skips (final block) the repeat folds into conv1's
+        # collapsed kernel, avoiding the ×4 FLOP blowup entirely
+        if s2d:
+            x = x_half if not skips else jnp.repeat(x_half, 4, axis=-1)
+        else:
+            x = _upsample2x_nearest(x_half)
+        # attention1's cSE pool, assembled from cached per-part means in
+        # concat channel order (mean of upsample == mean of its source)
+        pooled1 = (jnp.concatenate(pooled_parts, axis=-1)
+                   if (skips and scse) else None)
+        y, m = _block(prep[f"x_{d}_{li}"], x, skips, attention, s2d,
+                      pooled1, need_mean and scse)
+        if m is not None:
+            means[(d, li)] = m
+        dense_s2d[(d, li)] = y if s2d else None
+        dense[(d, li)] = depth_to_space(y) if s2d else y
+
+    for layer in range(depth):                 # smp diagonal loop
+        for d in range(depth - layer):
+            li = d + layer
+            # dense[(0, depth-1)] feeds only the skip-less final block:
+            # nothing downstream pools it
+            need_mean = not (d == 0 and li == depth - 1)
+            if layer == 0:
+                run(d, li, feats[d].astype(dtype), [feat_skip(li)],
+                    [feat_mean(d), feat_mean(li + 1)] if scse else [],
+                    need_mean)
+            else:
+                if use_s2d[li]:
+                    cat = [dense_s2d[(idx, li)] for idx in range(d + 1, li + 1)]
+                else:
+                    cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
+                pooled_parts = ([means[(d, li - 1)]]
+                                + [means[(idx, li)] for idx in range(d + 1, li + 1)]
+                                + [feat_mean(li + 1)]) if scse else []
+                run(d, li, dense[(d, li - 1)].astype(dtype),
+                    cat + [feat_skip(li)], pooled_parts, need_mean)
+    # final column: ×2 to input resolution, no skip
+    run(0, depth, dense[(0, depth - 1)], [], [], False)
+
+    hk = prep["head"]["kernel"].astype(jnp.float32)
+    hb = prep["head"]["bias"].astype(jnp.float32)
+    if use_s2d[depth]:
+        y = dense_s2d[(0, depth)].astype(jnp.float32)
+        out = lax.conv_general_dilated(y, hk, (1, 1), "SAME",
+                                       dimension_numbers=_DN) + hb
+        return depth_to_space(out)
+    y = dense[(0, depth)].astype(jnp.float32)
+    return lax.conv_general_dilated(y, hk, (1, 1), "SAME",
+                                    dimension_numbers=_DN) + hb
 
 
 def fast_decoder_head(
@@ -169,68 +405,44 @@ def fast_decoder_head(
     threshold: int = 32,
     dtype: Any = jnp.float32,
 ) -> jnp.ndarray:
-    """UNet++ decoder + head forward, s2d layout for low-channel columns.
+    """One-shot prepare + forward (preparation traced inline).
 
-    Mirrors ``unetpp.UnetPlusPlusDecoder.__call__`` exactly (same smp
-    wiring, ``mosaic_module.py:78-86``); a column runs in s2d when every
-    conv output width in it is ≤ ``threshold``.
+    Used by ``UnetPlusPlus.fast_eval`` so the module method needs no
+    state; production paths should :func:`prepare_fast_vars` once and jit
+    :func:`fast_forward` (see :func:`make_fast_infer`)."""
+    del num_classes
+    prep = prepare_fast_vars(
+        decoder_vars, head_vars, [f.shape[-1] for f in features],
+        decoder_channels, attention, threshold, dtype,
+    )
+    return fast_forward(prep, features, decoder_channels, attention,
+                        threshold, dtype)
+
+
+def make_fast_infer(model, variables) -> Tuple[Callable, Dict]:
+    """Production bundle: eager preparation + a jittable forward.
+
+    Returns ``(infer_fn, prep)`` where ``infer_fn(variables, prep, x)``
+    runs encoder → prepared decoder → head.  ``prep`` is a pytree of
+    arrays (pass it through jit as an argument, not a closure, so the
+    XLA executable is checkpoint-independent).
     """
-    p, bs = decoder_vars["params"], decoder_vars["batch_stats"]
-    feats = list(features)[::-1]               # deepest first
-    depth = len(feats) - 1
-    dch = list(decoder_channels)
+    from pistoseg_tpu.models.efficientnet import encoder_out_channels
 
-    def col_widths(li):
-        if li == depth:
-            return [dch[li]]
-        return [dch[li], feats[li + 1].shape[-1]]
+    prep = prepare_fast_vars(
+        {"params": variables["params"]["decoder"],
+         "batch_stats": variables["batch_stats"]["decoder"]},
+        {"params": variables["params"]["head"]},
+        encoder_out_channels(model.encoder_name),
+        tuple(model.decoder_channels),
+        model.attention,
+        model.s2d_threshold,
+        model.dtype,
+    )
 
-    use_s2d = {li: (threshold > 0 and max(col_widths(li)) <= threshold)
-               for li in range(depth + 1)}
+    def infer(vs, prep_tree, x):
+        feats = model.apply(vs, x, train=False, method="encode")
+        return fast_forward(prep_tree, feats, tuple(model.decoder_channels),
+                            model.attention, model.s2d_threshold, model.dtype)
 
-    dense: Dict = {}        # normal-layout outputs (input to the next column)
-    dense_s2d: Dict = {}    # s2d-layout outputs (skips within an s2d column)
-    feats_s2d: Dict = {}    # s2d view of encoder skips, cached per level
-
-    def feat_skip(li):
-        if use_s2d[li]:
-            if li not in feats_s2d:
-                feats_s2d[li] = space_to_depth(feats[li + 1].astype(dtype))
-            return feats_s2d[li]
-        return feats[li + 1]
-
-    def run(d, li, x_half, skips):
-        s2d = use_s2d[li]
-        # ×2 nearest upsample: in s2d layout every phase equals the source
-        # pixel, so the upsample is a channel repeat on the HALF-res grid
-        x = (jnp.repeat(x_half, 4, axis=-1) if s2d
-             else _upsample2x_nearest(x_half))
-        y = _block(p[f"x_{d}_{li}"], bs[f"x_{d}_{li}"], x, skips, attention, s2d)
-        dense_s2d[(d, li)] = y if s2d else None
-        dense[(d, li)] = depth_to_space(y) if s2d else y
-
-    for layer in range(depth):                 # smp diagonal loop
-        for d in range(depth - layer):
-            li = d + layer
-            if layer == 0:
-                run(d, li, feats[d].astype(dtype), [feat_skip(li)])
-            else:
-                if use_s2d[li]:
-                    cat = [dense_s2d[(idx, li)] for idx in range(d + 1, li + 1)]
-                else:
-                    cat = [dense[(idx, li)] for idx in range(d + 1, li + 1)]
-                run(d, li, dense[(d, li - 1)].astype(dtype),
-                    cat + [feat_skip(li)])
-    # final column: ×2 to input resolution, no skip
-    run(0, depth, dense[(0, depth - 1)], [])
-
-    hk = head_vars["params"]["kernel"].astype(jnp.float32)
-    hb = head_vars["params"]["bias"].astype(jnp.float32)
-    if use_s2d[depth]:
-        y = dense_s2d[(0, depth)].astype(jnp.float32)
-        out = lax.conv_general_dilated(y, s2d_kernel(hk), (1, 1), "SAME",
-                                       dimension_numbers=_DN) + _rep4(hb)
-        return depth_to_space(out)
-    y = dense[(0, depth)].astype(jnp.float32)
-    return lax.conv_general_dilated(y, hk, (1, 1), "SAME",
-                                    dimension_numbers=_DN) + hb
+    return infer, prep

@@ -82,6 +82,26 @@ def apply_pretrained(state, path: str, *, encoder_name: Optional[str] = None,
     )
 
 
+def make_infer_forward(model, variables):
+    """Production inference forward for a frozen checkpoint.
+
+    For UNet++ this is the BN-folded space-to-depth decoder
+    (``unetpp_fast.make_fast_infer``, numerically identical to the eval
+    forward — tests/test_unetpp_fast.py); for other models the plain eval
+    ``apply``.  Returns ``(fwd, prep)``: call ``fwd(variables, prep, x)``
+    inside jit, threading ``prep`` as an ARGUMENT so the prepared kernels
+    are not baked into the executable as constants (per-checkpoint
+    re-preparation then needs no re-compile).
+    """
+    from pistoseg_tpu.models.unetpp import UnetPlusPlus
+
+    if isinstance(model, UnetPlusPlus) and model.s2d_threshold:
+        from pistoseg_tpu.models.unetpp_fast import make_fast_infer
+
+        return make_fast_infer(model, variables)
+    return (lambda v, _p, x: model.apply(v, x, train=False)), {}
+
+
 def native_size_map(eval_root: str | Path) -> Dict[str, Tuple[int, int]]:
     """slide id → native (H, W), from the big-image directory next to the
     patch directory (reference reads ``../img/{idx}.png`` sizes,

@@ -92,14 +92,17 @@ def infer_stage3(
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
     # one jit over normalize + all 8 d4 views + inversion + mean (eager view
-    # ops each cost a relay dispatch); variables passed as an ARGUMENT so
+    # ops each cost a relay dispatch); variables/prep passed as ARGUMENTS so
     # the weights aren't baked into the program as constants
+    from pistoseg_tpu.stages.common import make_infer_forward
+
+    fwd, prep = make_infer_forward(model, variables)
     if cfg.infer.tta:
-        forward_full = jax.jit(lambda v, imgs: d4_forward(
-            lambda b: model.apply(v, b, train=False), imagenet_normalize(imgs)))
+        forward_full = jax.jit(lambda v, p, imgs: d4_forward(
+            lambda b: fwd(v, p, b), imagenet_normalize(imgs)))
     else:
-        forward_full = jax.jit(lambda v, imgs: model.apply(
-            v, imagenet_normalize(imgs), train=False))
+        forward_full = jax.jit(lambda v, p, imgs: fwd(
+            v, p, imagenet_normalize(imgs)))
 
     ds = PatchInferenceDataset(train_data, profile, sc.patch_size)
     if limit is not None:
@@ -125,7 +128,7 @@ def infer_stage3(
     # batch's device work — it dominated the serial loop
     with ThreadPoolExecutor(max_workers=8) as pool:
         for batch in loader.epoch(0):
-            logits = forward_full(variables, jnp.asarray(batch["image"]))
+            logits = forward_full(variables, prep, jnp.asarray(batch["image"]))
             small, pred, entropy = emit_outputs(
                 logits,
                 jnp.asarray(batch["label"]),

@@ -68,13 +68,15 @@ def test_stage5(
                                       sc.decoder_attention, dtype=act_dtype)
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    from pistoseg_tpu.stages.common import make_infer_forward
+
+    fwd, prep = make_infer_forward(model, variables)
     if sc.tta:
-        forward_full = jax.jit(lambda v, imgs: jax.nn.softmax(d4_forward(
-            lambda b: model.apply(v, b, train=False),
-            imagenet_normalize(imgs)), axis=-1))
+        forward_full = jax.jit(lambda v, p, imgs: jax.nn.softmax(d4_forward(
+            lambda b: fwd(v, p, b), imagenet_normalize(imgs)), axis=-1))
     else:
-        forward_full = jax.jit(lambda v, imgs: jax.nn.softmax(model.apply(
-            v, imagenet_normalize(imgs), train=False), axis=-1))
+        forward_full = jax.jit(lambda v, p, imgs: jax.nn.softmax(fwd(
+            v, p, imagenet_normalize(imgs)), axis=-1))
 
     big_root = big_root or str(Path(test_data).parent)
     natives = native_size_map(big_root)
@@ -85,7 +87,7 @@ def test_stage5(
     bcss_outputs = []
 
     for batch in loader.epoch(0):
-        probs = np.asarray(forward_full(variables, jnp.asarray(batch["image"])))
+        probs = np.asarray(forward_full(variables, prep, jnp.asarray(batch["image"])))
         pred = probs.argmax(-1).astype(np.uint8)
         for j, ok in enumerate(batch["valid"]):
             if not ok:
