@@ -128,6 +128,7 @@ def stitched_validation(
     bg_ignore_class: Optional[int] = None,
     patch_size: int = 224,
     panel_cb=None,
+    model=None,
 ) -> Dict[str, float]:
     """Reference stitched validation (``mosaic_module.py:137-241``):
 
@@ -139,6 +140,11 @@ def stitched_validation(
     per-batch pipeline (normalize + optional d4 views + softmax) runs as
     ONE jitted program, with ``variables`` as an argument — never closed
     over (weights-as-constants overflow the remote compile service).
+
+    Passing ``model`` routes the forward through the production fast
+    inference path (``make_infer_forward``; numerically equivalent,
+    ~1.4× faster): re-preparation per call, jit cache shared across
+    epochs because ``prep`` is threaded as an argument.
     """
     from pistoseg_tpu.ops.palette import decode_palette_png
 
@@ -146,15 +152,19 @@ def stitched_validation(
     stitcher = CanvasStitcher(num_classes)
     natives = native_size_map(big_root) if big_root else {}
 
-    if tta:
-        run = jax.jit(lambda v, imgs: jax.nn.softmax(d4_forward(
-            lambda b: apply_fn(v, b), imagenet_normalize(imgs)), axis=-1))
+    if model is not None:
+        fwd, prep = make_infer_forward(model, variables)
     else:
-        run = jax.jit(lambda v, imgs: jax.nn.softmax(
-            apply_fn(v, imagenet_normalize(imgs)), axis=-1))
+        fwd, prep = (lambda v, _p, b: apply_fn(v, b)), {}
+    if tta:
+        run = jax.jit(lambda v, p, imgs: jax.nn.softmax(d4_forward(
+            lambda b: fwd(v, p, b), imagenet_normalize(imgs)), axis=-1))
+    else:
+        run = jax.jit(lambda v, p, imgs: jax.nn.softmax(
+            fwd(v, p, imagenet_normalize(imgs)), axis=-1))
 
     for batch in patch_loader.epoch(0):
-        probs = np.asarray(run(variables, jnp.asarray(batch["image"])))
+        probs = np.asarray(run(variables, prep, jnp.asarray(batch["image"])))
         valid = batch["valid"]
         pred = probs.argmax(-1)
         for j in range(len(valid)):

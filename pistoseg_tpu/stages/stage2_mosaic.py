@@ -155,7 +155,7 @@ def train_stage2(
 
         metrics = stitched_validation(
             apply_eval, variables, val_loader, num_classes, val_big_root,
-            tta=False, patch_size=sc.patch_size, panel_cb=panel,
+            tta=False, patch_size=sc.patch_size, panel_cb=panel, model=model,
         )
         console_metric_block(f"Stage-2 validation (epoch {epoch})", metrics)
         logger.log(dict(metrics, epoch=epoch))
@@ -205,7 +205,7 @@ def train_stage2(
         best_vars = {"params": best_state.params, "batch_stats": best_state.batch_stats}
         metrics = stitched_validation(
             apply_eval, best_vars, val_loader, num_classes, val_big_root,
-            tta=True, patch_size=sc.patch_size,
+            tta=True, patch_size=sc.patch_size, model=model,
         )
         console_metric_block("Stage-2 best + d4 TTA", metrics)
         logger.log(dict(metrics, tta=True))

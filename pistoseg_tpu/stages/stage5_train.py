@@ -101,7 +101,7 @@ def train_stage5(
 
         metrics = stitched_validation(
             apply_eval, variables, val_loader, num_classes, val_big_root,
-            patch_size=sc.patch_size, panel_cb=panel,
+            patch_size=sc.patch_size, panel_cb=panel, model=model,
         )
         console_metric_block(f"Stage-5 validation (epoch {epoch})", metrics)
         logger.log(dict(metrics, epoch=epoch))
