@@ -83,6 +83,90 @@ def test_augment_batch_deterministic_and_shaped():
     assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-3
 
 
+def test_augment_two_pass_matches_gather_reference_in_frame():
+    """The MXU two-pass warp must match the golden gather formulation
+    everywhere the composite map stays inside the frame (out-of-frame
+    pixels use per-pass reflect-101 — a documented, equally-valid fill).
+    Tolerance covers bf16 einsum weights + the two-pass reconstruction
+    filter on smooth content."""
+    from pistoseg_tpu.ops.augment import (
+        WarpParams, _apply_map, _sample_params, augment_pair_reference)
+
+    N, H, W, S = 6, 64, 64, 48
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    imgs = np.stack([
+        np.stack([np.sin(yy / 17 + i) * 100 + 120,
+                  np.cos(xx / 23 - i) * 100 + 120,
+                  (yy + xx) / (H + W) * 200 + 20], -1)
+        for i in range(N)
+    ]).astype(np.float32)
+    masks = ((yy[None] > H / 2).astype(np.int32) +
+             (xx[None] > W / 2).astype(np.int32))
+    masks = np.broadcast_to(masks, (N, H, W)).astype(np.int32)
+
+    cfg = AugmentConfig(out_size=S)
+    key = jax.random.PRNGKey(3)
+    out, m = augment_batch(key, jnp.asarray(imgs), jnp.asarray(masks), cfg,
+                           do_normalize=False)
+    keys = jax.random.split(key, N)
+    r = jnp.arange(S, dtype=jnp.float32)[:, None]
+    c = jnp.arange(S, dtype=jnp.float32)[None, :]
+    for i in range(N):
+        ref, mref = augment_pair_reference(
+            keys[i], jnp.asarray(imgs[i]), jnp.asarray(masks[i]), cfg)
+        p = _sample_params(keys[i], (H, W), cfg)
+        ys, xs, _ = _apply_map(p, r, c, (H, W))
+        in_frame = np.asarray((ys >= 1) & (ys <= H - 2) & (xs >= 1) & (xs <= W - 2))
+        err = np.abs(np.asarray(out[i]) - np.asarray(ref))
+        assert err[in_frame].max() < 2.5  # [0, 255] scale
+        # nearest mask: in-frame mismatches only on rounding ties along
+        # class boundaries — must be rare
+        mm = (np.asarray(m[i]) != np.asarray(mref)) & in_frame
+        assert mm.mean() < 0.02
+
+
+def test_augment_two_pass_exact_for_separable_transforms():
+    """With rotation/distortion off the two-pass warp IS direct bilinear;
+    only bf16 weight quantization separates the paths."""
+    from pistoseg_tpu.ops.augment import augment_pair_reference
+
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 255, (3, 64, 64, 3)).astype(np.float32)
+    masks = rng.randint(0, 4, (3, 64, 64)).astype(np.int32)
+    cfg = AugmentConfig(out_size=48, ssr_p=0.0, distort_p=0.0)
+    key = jax.random.PRNGKey(11)
+    out, m = augment_batch(key, jnp.asarray(imgs), jnp.asarray(masks), cfg,
+                           do_normalize=False)
+    keys = jax.random.split(key, 3)
+    for i in range(3):
+        ref, mref = augment_pair_reference(
+            keys[i], jnp.asarray(imgs[i]), jnp.asarray(masks[i]), cfg)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref), atol=2.5)
+        np.testing.assert_array_equal(np.asarray(m[i]), np.asarray(mref))
+
+
+def test_augment_chunked_warp_matches_dense():
+    """Spatial lax.map chunking (the HBM bound for big batches) must be a
+    pure re-slabbing: same results as the single-shot dense warp."""
+    from pistoseg_tpu.ops.augment import _sample_params, _warp_two_pass
+
+    N, H, W, S = 6, 32, 32, 24
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.rand(N, H, W, 3).astype(np.float32) * 255)
+    masks = jnp.asarray(rng.randint(0, 4, (N, H, W)).astype(np.int32))
+    cfg = AugmentConfig(out_size=S)
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    params = jax.vmap(lambda k: _sample_params(k, (H, W), cfg))(keys)
+    dense = _warp_two_pass(imgs, masks, params, S, chunk_target=1)
+    chunked = _warp_two_pass(imgs, masks, params, S, chunk_target=4)
+    # images: same per-sample math, but XLA may reassociate the bf16
+    # contraction differently between the two compilations → up to one
+    # bf16 lsb (2.0 at [0, 255] magnitudes) on isolated elements
+    np.testing.assert_allclose(np.asarray(chunked[0]), np.asarray(dense[0]),
+                               atol=2.0)
+    np.testing.assert_array_equal(np.asarray(chunked[1]), np.asarray(dense[1]))
+
+
 def test_imagenet_normalize_matches_reference_formula():
     x = np.full((1, 2, 2, 3), 128, np.float32)
     got = np.asarray(imagenet_normalize(jnp.asarray(x)))
