@@ -42,7 +42,9 @@ training data, it is not an inference-path resize):
   equally-valid linear reconstruction that differs by O(local image
   curvature).
 * The einsum runs in bf16 (weights + pixels): ≤1/256 relative error on
-  [0, 255] inputs, ~0.02 after ImageNet normalization.
+  [0, 255] inputs, ~0.02 after ImageNet normalization.  fp32-precision
+  stages switch it to f32 (``AugmentConfig.warp_dtype``) so augmented
+  batches stay deterministic across device counts.
 * reflect-101 is applied per pass; for coordinates that leave the frame
   under rotation the reflected x comes from the reflected row's own
   warp line (border band only).
@@ -140,6 +142,12 @@ class AugmentConfig(NamedTuple):
     distort_shift: float = 0.05
     norm_mean: Tuple[float, float, float] = IMAGENET_MEAN
     norm_std: Tuple[float, float, float] = IMAGENET_STD
+    # dtype of the two-pass interpolation einsums.  bf16 halves the weight
+    # tensors' HBM traffic and is plenty for augmented pixels (≤1/256 rel
+    # err); fp32-precision training selects "f32" so the warp stays
+    # deterministic across device counts (bf16 matmul reassociation
+    # differs between 1-dev and N-dev compilations).
+    warp_dtype: str = "bf16"
 
 
 class WarpParams(NamedTuple):
@@ -318,9 +326,11 @@ def _warp_two_pass(
     p: WarpParams,             # leaves (N,)
     out_size: int,
     chunk_target: int = WARP_CHUNKS,
+    warp_dtype: str = "bf16",
 ):
     N, H, W = img.shape[:3]
     S = out_size
+    wdt = jnp.bfloat16 if warp_dtype == "bf16" else jnp.float32
     pb = WarpParams(*(leaf[:, None, None] for leaf in p))
 
     xs_rows = _reflect101_f(_row_crossings(pb, (H, W), S), W)        # (N, H, S)
@@ -339,12 +349,12 @@ def _warp_two_pass(
 
         def pass1(args):
             xcc, vcc = args
-            wx = _lerp_weights(xcc, W).astype(jnp.bfloat16)
-            return jnp.einsum("nicw,niwx->nicx", wx, vcc.astype(jnp.bfloat16),
+            wx = _lerp_weights(xcc, W).astype(wdt)
+            return jnp.einsum("nicw,niwx->nicx", wx, vcc.astype(wdt),
                               preferred_element_type=jnp.float32)
 
         tmp = jax.lax.map(pass1, (xc, vc)) if g1 > 1 else pass1((xc[0], vc[0]))[None]
-        tmp = jnp.moveaxis(tmp, 0, 1).reshape(N, H, S, C).astype(jnp.bfloat16)
+        tmp = jnp.moveaxis(tmp, 0, 1).reshape(N, H, S, C).astype(wdt)
 
         # pass 2 (vertical): out[n, r, c, ch] = Σ_i Wy[n,r,c,i]·tmp[n,i,c,ch]
         # chunked over output rows r (tmp is a loop invariant)
@@ -352,7 +362,7 @@ def _warp_two_pass(
         yc = jnp.moveaxis(y_coord.reshape(N, g2, S // g2, S), 1, 0)
 
         def pass2(ycc):
-            wy = _lerp_weights(ycc, H).astype(jnp.bfloat16)
+            wy = _lerp_weights(ycc, H).astype(wdt)
             return jnp.einsum("nrci,nicx->nrcx", wy, tmp,
                               preferred_element_type=jnp.float32)
 
@@ -412,7 +422,8 @@ def augment_batch(
     """
     keys = jax.random.split(key, images.shape[0])
     params = jax.vmap(lambda k: _sample_params(k, images.shape[1:3], cfg))(keys)
-    out, m = _warp_two_pass(images.astype(jnp.float32), masks, params, cfg.out_size)
+    out, m = _warp_two_pass(images.astype(jnp.float32), masks, params,
+                            cfg.out_size, warp_dtype=cfg.warp_dtype)
     if do_normalize:
         out = normalize(out, cfg.norm_mean, cfg.norm_std)
     return out, m

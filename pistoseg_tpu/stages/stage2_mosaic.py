@@ -50,6 +50,11 @@ def build_loss_fn(model, profile, stage_cfg, aug_cfg: AugmentConfig):
     use_dice = stage_cfg.loss == "dice"
     act_dtype = jnp.bfloat16 if stage_cfg.precision == "bf16" else jnp.float32
 
+    # fp32 training keeps the warp einsums in f32 so the augmented batch is
+    # deterministic across device counts (see AugmentConfig.warp_dtype)
+    if stage_cfg.precision != "bf16":
+        aug_cfg = aug_cfg._replace(warp_dtype="f32")
+
     def loss_fn(params, batch_stats, batch, rng):
         aug_key, path_key, drop_key = jax.random.split(rng, 3)
         images, masks = augment_batch(aug_key, batch["image"], batch["mask"], aug_cfg)

@@ -80,15 +80,18 @@ def _assert_semantics_match(state, loss_fn, batch, rng):
     #    relative — measured up to 150% on this random-init toy — and are
     #    excluded by the norm threshold.  A real backward-wiring bug (e.g.
     #    a missing or double gradient reduction) scales ALL leaves ~8x
-    #    (700%); the 5% cap on large leaves catches that with 140x margin
+    #    (700%); the 8% cap on large leaves catches that with ~90x margin
     #    while riding above the measured few-percent noise on SE-gate
-    #    kernels (saturated sigmoids: tiny cancelling derivative products).
+    #    kernels (saturated sigmoids: tiny cancelling derivative products;
+    #    measured up to 5.1% once the on-device augmentation's f32 warp
+    #    einsums — whose reduction order legitimately differs between the
+    #    1-dev and 8-dev compilations — joined the fp32 reduction noise).
     dens = {k: float(np.linalg.norm(v)) for k, v in g1.items()}
     big = {k for k, d in dens.items() if d >= 1e-2 * max(dens.values())}
     assert len(big) >= 10  # the check must cover a meaningful set
     for k in big:
         num = float(np.linalg.norm(g1[k] - g8[k]))
-        assert num <= 5e-2 * dens[k], (k, num, dens[k], num / dens[k])
+        assert num <= 8e-2 * dens[k], (k, num, dens[k], num / dens[k])
 
 
 def _assert_sharded_step_runs(state, loss_fn, batch, rng):
