@@ -173,22 +173,41 @@ class WarpParams(NamedTuple):
 def _sample_params(key: jax.Array, in_hw: Tuple[int, int], cfg: AugmentConfig) -> WarpParams:
     """Draw one sample's augmentation and fold it into WarpParams.
 
-    Random draw order matches the original per-coordinate-grid
-    implementation so (seed → transform) is unchanged.
+    Sampling semantics follow the reference's albumentations stack
+    (``dataset.py:41-49``) including torchvision-style RRC rejection;
+    ranges are statistically pinned by
+    ``test_augment_sampling_matches_albumentations_ranges``.
     """
     H, W = in_hw
     S = cfg.out_size
     ks = jax.random.split(key, 12)
 
-    # --- RandomResizedCrop: area scale + log-uniform aspect, random origin
-    area_frac = jax.random.uniform(ks[0], (), minval=cfg.rrc_scale[0], maxval=cfg.rrc_scale[1])
-    log_r = jax.random.uniform(
-        ks[1], (), minval=math.log(cfg.rrc_ratio[0]), maxval=math.log(cfg.rrc_ratio[1])
-    )
-    aspect = jnp.exp(log_r)
+    # --- RandomResizedCrop: area scale + log-uniform aspect, random origin.
+    # torchvision/albumentations sample (area, aspect) up to 10 times and
+    # REJECT out-of-frame candidates (clipping instead would realize areas
+    # below the configured scale range — e.g. 0.82 for scale=(0.9, 1) on a
+    # square image); vectorized here as 10 draws + first-valid select,
+    # with torchvision's deterministic fallback when all 10 miss.
+    lo, hi = cfg.rrc_ratio
+    area_frac = jax.random.uniform(
+        ks[0], (10,), minval=cfg.rrc_scale[0], maxval=cfg.rrc_scale[1])
+    aspect = jnp.exp(jax.random.uniform(
+        ks[1], (10,), minval=math.log(lo), maxval=math.log(hi)))
     area = area_frac * H * W
-    cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, W)
-    ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, H)
+    cw_cand = jnp.sqrt(area * aspect)
+    ch_cand = jnp.sqrt(area / aspect)
+    valid = (cw_cand <= W) & (ch_cand <= H)
+    first = jnp.argmax(valid)          # index of the first valid attempt
+    in_ratio = W / H
+    if in_ratio < lo:
+        fw, fh = float(W), W / lo
+    elif in_ratio > hi:
+        fh, fw = float(H), H * hi
+    else:
+        fw, fh = float(W), float(H)
+    any_valid = valid.any()
+    cw = jnp.where(any_valid, cw_cand[first], fw)
+    ch = jnp.where(any_valid, ch_cand[first], fh)
     y0 = jax.random.uniform(ks[2], (), minval=0.0, maxval=1.0) * (H - ch)
     x0 = jax.random.uniform(ks[3], (), minval=0.0, maxval=1.0) * (W - cw)
 

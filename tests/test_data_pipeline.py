@@ -167,6 +167,79 @@ def test_augment_chunked_warp_matches_dense():
     np.testing.assert_array_equal(np.asarray(chunked[1]), np.asarray(dense[1]))
 
 
+def test_augment_sampling_matches_albumentations_ranges():
+    """Drawn transform parameters must respect the reference's
+    albumentations stack (dataset.py:41-49 — RRC(scale=(0.9,1), default
+    ratio (3/4,4/3)), flips p=.5, SSR defaults (shift .0625, scale .1,
+    rotate 45°), OpticalDistortion defaults (distort .05, shift .05)).
+    Catches unit/plumbing bugs (e.g. degrees-as-radians) that forward
+    parity tests can't see."""
+    from pistoseg_tpu.ops.augment import _sample_params
+
+    H = W = 128
+    S = 96
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+
+    def draw(cfg):
+        return jax.vmap(lambda k: _sample_params(k, (H, W), cfg))(keys)
+
+    # --- RandomResizedCrop alone: area/aspect/bounds
+    p = draw(AugmentConfig(out_size=S, hflip_p=0, vflip_p=0, ssr_p=0,
+                           distort_p=0))
+    ch = np.asarray(p.a_yr) * S
+    cw = np.asarray(p.a_xc) * S
+    area = ch * cw / (H * W)
+    aspect = cw / ch
+    assert area.min() >= 0.9 - 1e-5 and area.max() <= 1.0 + 1e-5
+    assert 0.93 < area.mean() < 0.97              # ~uniform over [0.9, 1]
+    assert aspect.min() >= 0.75 - 1e-3 and aspect.max() <= 4 / 3 + 1e-3
+    y0 = np.asarray(p.a_y0) + 0.5 - 0.5 * np.asarray(p.a_yr)
+    x0 = np.asarray(p.a_x0) + 0.5 - 0.5 * np.asarray(p.a_xc)
+    assert (y0 >= -1e-3).all() and (y0 + ch <= H + 1e-2).all()
+    assert (x0 >= -1e-3).all() and (x0 + cw <= W + 1e-2).all()
+    assert float(np.abs(np.asarray(p.kd)).max()) == 0.0   # distortion off
+
+    # --- flip firing rates ≈ p (sign of the linear coefficients)
+    p = draw(AugmentConfig(out_size=S, ssr_p=0.0, distort_p=0.0))
+    assert abs((np.asarray(p.a_xc) < 0).mean() - 0.5) < 0.03
+    assert abs((np.asarray(p.a_yr) < 0).mean() - 0.5) < 0.03
+
+    # --- ShiftScaleRotate alone on a full square crop: the linear part
+    # decomposes into rotation ≤45° and scale within 1±0.1
+    p = draw(AugmentConfig(out_size=S, rrc_scale=(1.0, 1.0),
+                           rrc_ratio=(1.0, 1.0), hflip_p=0, vflip_p=0,
+                           ssr_p=1.0, distort_p=0))
+    ayr, ayc = np.asarray(p.a_yr), np.asarray(p.a_yc)
+    axr, axc = np.asarray(p.a_xr), np.asarray(p.a_xc)
+    det = ayr * axc - ayc * axr
+    scale = (H / S) / np.sqrt(det)                 # forward scale s
+    assert scale.min() >= 0.9 - 1e-3 and scale.max() <= 1.1 + 1e-3
+    theta = np.degrees(np.arctan2(ayc, ayr))
+    assert np.abs(theta).max() <= 45.01            # degrees-as-radians → >>45
+    assert np.abs(theta).max() > 40                # double-deg2rad → ≤0.8°
+    assert np.percentile(np.abs(theta), 50) > 15   # spans the range
+    # shift: center displacement bounded by the shift limits (plus the
+    # half-pixel crop offset, scaled by 1/s)
+    rc = (S - 1) / 2.0
+    ys_c = ayr * rc + ayc * rc + np.asarray(p.a_y0)
+    disp = np.abs(ys_c - np.asarray(p.cy))
+    assert disp.max() <= (0.0625 * (H + W) + 1.0) / 0.9
+    assert disp.std() > 1.0                        # shifts actually drawn
+
+    # --- OpticalDistortion alone: radial coefficient and shift bounds,
+    # and the p=0.5 gate
+    p = draw(AugmentConfig(out_size=S, hflip_p=0, vflip_p=0, ssr_p=0,
+                           distort_p=1.0))
+    assert np.abs(np.asarray(p.kd)).max() <= 0.05 + 1e-6
+    assert np.abs(np.asarray(p.dy)).max() <= 0.05 * H + 1e-3
+    assert np.abs(np.asarray(p.dx)).max() <= 0.05 * W + 1e-3
+    p = draw(AugmentConfig(out_size=S, hflip_p=0, vflip_p=0, ssr_p=0,
+                           distort_p=0.5))
+    fired = np.asarray(p.kd) != 0.0
+    assert abs(fired.mean() - 0.5) < 0.03
+
+
 def test_imagenet_normalize_matches_reference_formula():
     x = np.full((1, 2, 2, 3), 128, np.float32)
     got = np.asarray(imagenet_normalize(jnp.asarray(x)))
