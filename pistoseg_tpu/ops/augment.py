@@ -208,8 +208,12 @@ def _sample_params(key: jax.Array, in_hw: Tuple[int, int], cfg: AugmentConfig) -
     any_valid = valid.any()
     cw = jnp.where(any_valid, cw_cand[first], fw)
     ch = jnp.where(any_valid, ch_cand[first], fh)
-    y0 = jax.random.uniform(ks[2], (), minval=0.0, maxval=1.0) * (H - ch)
-    x0 = jax.random.uniform(ks[3], (), minval=0.0, maxval=1.0) * (W - cw)
+    # torchvision centers the fallback crop; valid candidates get a
+    # uniform origin
+    y0 = jnp.where(any_valid,
+                   jax.random.uniform(ks[2], ()) * (H - ch), (H - ch) / 2.0)
+    x0 = jnp.where(any_valid,
+                   jax.random.uniform(ks[3], ()) * (W - cw), (W - cw) / 2.0)
 
     # crop grid as an affine map of the output pixel index (half-pixel centers)
     a_yr = ch / S
@@ -292,19 +296,26 @@ def _apply_map(p: WarpParams, rho, c, in_hw: Tuple[int, int]):
     return ys, xs, dys
 
 
-def _row_crossings(p: WarpParams, in_hw: Tuple[int, int], out_size: int):
+def _row_crossings(p: WarpParams, in_hw: Tuple[int, int], out_size: int,
+                   newton_steps: int = 3):
     """X(i, c): x-coordinate where output column c's warp line crosses
-    input row i.  Solves ys(ρ, c) = i for ρ (exact for affine, 3 Newton
-    steps for the radial term) and evaluates xs there."""
+    input row i.  Solves ys(ρ, c) = i for ρ (exact for affine, Newton
+    steps for the radial term) and evaluates xs there.
+
+    ``newton_steps=0`` skips the refinement entirely — callers pass 0
+    when the config statically disables distortion (the affine guess is
+    then the exact solution), removing four (N, H, S) map sweeps."""
     H, W = in_hw
     S = out_size
     i = jnp.arange(H, dtype=jnp.float32)[None, :, None]        # (1, H, 1)
     c = jnp.arange(S, dtype=jnp.float32)[None, None, :]        # (1, 1, S)
     # affine initial guess: a_yr·ρ + a_yc·c + a_y0 = i
     rho = (i - p.a_yc * c - p.a_y0) / p.a_yr                   # (N, H, S)
-    for _ in range(3):
+    for _ in range(newton_steps):
         ys, _, dys = _apply_map(p, rho, c, in_hw)
-        denom = jnp.where(jnp.abs(dys) < 0.1, jnp.sign(dys) * 0.1 + (dys == 0), dys)
+        # floor |denominator| at 0.1, keeping the sign (treat exact 0 as +)
+        denom = jnp.where(jnp.abs(dys) < 0.1,
+                          jnp.where(dys < 0, -0.1, 0.1), dys)
         rho = rho - (ys - i) / denom
     _, xs, _ = _apply_map(p, rho, c, in_hw)
     return xs                                                  # (N, H, S)
@@ -331,12 +342,19 @@ def _lerp_weights(coord: jnp.ndarray, size: int) -> jnp.ndarray:
 WARP_CHUNKS = 8
 
 
-def _chunk_count(n: int, target: int = WARP_CHUNKS) -> int:
-    """Largest divisor of ``n`` that is ≤ target (1 → no chunking)."""
-    g = min(target, n)
-    while n % g:
-        g -= 1
-    return g
+def _pad_rows(a: jnp.ndarray, rows_to: int, fill: float) -> jnp.ndarray:
+    """Pad axis 1 (rows) up to ``rows_to`` with ``fill``.
+
+    Sizes that don't divide into WARP_CHUNKS slabs are padded rather than
+    silently falling back to the dense (multi-GB) formulation: pad
+    coordinate −2 produces all-zero interpolation weights, and padded
+    output rows are sliced off after the pass."""
+    pad = rows_to - a.shape[1]
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[1] = (0, pad)
+    return jnp.pad(a, widths, constant_values=fill)
 
 
 def _warp_two_pass(
@@ -346,13 +364,15 @@ def _warp_two_pass(
     out_size: int,
     chunk_target: int = WARP_CHUNKS,
     warp_dtype: str = "bf16",
+    newton_steps: int = 3,
 ):
     N, H, W = img.shape[:3]
     S = out_size
     wdt = jnp.bfloat16 if warp_dtype == "bf16" else jnp.float32
     pb = WarpParams(*(leaf[:, None, None] for leaf in p))
 
-    xs_rows = _reflect101_f(_row_crossings(pb, (H, W), S), W)        # (N, H, S)
+    xs_rows = _reflect101_f(
+        _row_crossings(pb, (H, W), S, newton_steps), W)             # (N, H, S)
     r = jnp.arange(S, dtype=jnp.float32)[None, :, None]
     c = jnp.arange(S, dtype=jnp.float32)[None, None, :]
     ys_out, _, _ = _apply_map(pb, r, c, (H, W))                      # (N, S, S)
@@ -361,10 +381,13 @@ def _warp_two_pass(
     def two_pass(values, x_coord, y_coord):
         C = values.shape[-1]
         # pass 1 (horizontal): tmp[n, i, c, ch] = Σ_w Wx[n,i,c,w]·values[n,i,w,ch]
-        # chunked over input rows i
-        g1 = _chunk_count(H, chunk_target)
-        xc = jnp.moveaxis(x_coord.reshape(N, g1, H // g1, S), 1, 0)
-        vc = jnp.moveaxis(values.reshape(N, g1, H // g1, W, C), 1, 0)
+        # chunked over input rows i (padded rows get zero weights)
+        g1 = min(chunk_target, H)
+        hp = -(-H // g1) * g1
+        xc = _pad_rows(x_coord, hp, -2.0)
+        vc = _pad_rows(values, hp, 0.0)
+        xc = jnp.moveaxis(xc.reshape(N, g1, hp // g1, S), 1, 0)
+        vc = jnp.moveaxis(vc.reshape(N, g1, hp // g1, W, C), 1, 0)
 
         def pass1(args):
             xcc, vcc = args
@@ -373,20 +396,25 @@ def _warp_two_pass(
                               preferred_element_type=jnp.float32)
 
         tmp = jax.lax.map(pass1, (xc, vc)) if g1 > 1 else pass1((xc[0], vc[0]))[None]
-        tmp = jnp.moveaxis(tmp, 0, 1).reshape(N, H, S, C).astype(wdt)
+        # padded tmp rows (index ≥ H) always get zero pass-2 weight:
+        # y_coord ≤ H−1, so relu(1 − |y − i|) = 0 for i ≥ H
+        tmp = jnp.moveaxis(tmp, 0, 1).reshape(N, hp, S, C).astype(wdt)
 
         # pass 2 (vertical): out[n, r, c, ch] = Σ_i Wy[n,r,c,i]·tmp[n,i,c,ch]
-        # chunked over output rows r (tmp is a loop invariant)
-        g2 = _chunk_count(S, chunk_target)
-        yc = jnp.moveaxis(y_coord.reshape(N, g2, S // g2, S), 1, 0)
+        # chunked over output rows r (tmp is a loop invariant; padded
+        # output rows compute junk and are sliced off)
+        g2 = min(chunk_target, S)
+        sp = -(-S // g2) * g2
+        yc = _pad_rows(y_coord, sp, 0.0)
+        yc = jnp.moveaxis(yc.reshape(N, g2, sp // g2, S), 1, 0)
 
         def pass2(ycc):
-            wy = _lerp_weights(ycc, H).astype(wdt)
+            wy = _lerp_weights(ycc, hp).astype(wdt)
             return jnp.einsum("nrci,nicx->nrcx", wy, tmp,
                               preferred_element_type=jnp.float32)
 
         out = jax.lax.map(pass2, yc) if g2 > 1 else pass2(yc[0])[None]
-        return jnp.moveaxis(out, 0, 1).reshape(N, S, S, C)
+        return jnp.moveaxis(out, 0, 1).reshape(N, sp, S, C)[:, :S]
 
     img_out = two_pass(img.astype(jnp.float32), xs_rows, ys_out)
     if mask is None:
@@ -439,10 +467,22 @@ def augment_batch(
     jitted with the config static, so each (shape, cfg) compiles once;
     inside a larger jit (the train step) it inlines and fuses.
     """
+    if cfg.ssr_p > 0 and cfg.rotate_limit > 60.0:
+        # the horizontal pass inverts the row map ρ ↦ ys(ρ, c); its
+        # conditioning degrades as |θ| → 90° (a_yr → 0). 45° (the
+        # reference's albumentations default) is well inside the safe
+        # range; refuse configs the two-pass formulation can't honor.
+        raise ValueError(
+            f"rotate_limit={cfg.rotate_limit} exceeds the two-pass warp's "
+            "conditioning bound (60°); use the gather reference path for "
+            "extreme rotations")
     keys = jax.random.split(key, images.shape[0])
     params = jax.vmap(lambda k: _sample_params(k, images.shape[1:3], cfg))(keys)
-    out, m = _warp_two_pass(images.astype(jnp.float32), masks, params,
-                            cfg.out_size, warp_dtype=cfg.warp_dtype)
+    # distortion statically off → the affine row-map inversion is exact;
+    # skip the Newton sweeps (cfg is static at this jit boundary)
+    steps = 0 if cfg.distort_p == 0.0 else 3
+    out, m = _warp_two_pass(images, masks, params, cfg.out_size,
+                            warp_dtype=cfg.warp_dtype, newton_steps=steps)
     if do_normalize:
         out = normalize(out, cfg.norm_mean, cfg.norm_std)
     return out, m

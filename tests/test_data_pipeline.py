@@ -150,21 +150,24 @@ def test_augment_chunked_warp_matches_dense():
     pure re-slabbing: same results as the single-shot dense warp."""
     from pistoseg_tpu.ops.augment import _sample_params, _warp_two_pass
 
-    N, H, W, S = 6, 32, 32, 24
-    rng = np.random.RandomState(5)
-    imgs = jnp.asarray(rng.rand(N, H, W, 3).astype(np.float32) * 255)
-    masks = jnp.asarray(rng.randint(0, 4, (N, H, W)).astype(np.int32))
-    cfg = AugmentConfig(out_size=S)
-    keys = jax.random.split(jax.random.PRNGKey(7), N)
-    params = jax.vmap(lambda k: _sample_params(k, (H, W), cfg))(keys)
-    dense = _warp_two_pass(imgs, masks, params, S, chunk_target=1)
-    chunked = _warp_two_pass(imgs, masks, params, S, chunk_target=4)
-    # images: same per-sample math, but XLA may reassociate the bf16
-    # contraction differently between the two compilations → up to one
-    # bf16 lsb (2.0 at [0, 255] magnitudes) on isolated elements
-    np.testing.assert_allclose(np.asarray(chunked[0]), np.asarray(dense[0]),
-                               atol=2.0)
-    np.testing.assert_array_equal(np.asarray(chunked[1]), np.asarray(dense[1]))
+    # includes a prime (H, W, S) case: sizes that don't divide into the
+    # slab count are padded (zero-weight rows), not silently densified
+    for N, H, W, S in [(6, 32, 32, 24), (3, 37, 41, 29)]:
+        rng = np.random.RandomState(5)
+        imgs = jnp.asarray(rng.rand(N, H, W, 3).astype(np.float32) * 255)
+        masks = jnp.asarray(rng.randint(0, 4, (N, H, W)).astype(np.int32))
+        cfg = AugmentConfig(out_size=S)
+        keys = jax.random.split(jax.random.PRNGKey(7), N)
+        params = jax.vmap(lambda k: _sample_params(k, (H, W), cfg))(keys)
+        dense = _warp_two_pass(imgs, masks, params, S, chunk_target=1)
+        chunked = _warp_two_pass(imgs, masks, params, S, chunk_target=4)
+        # images: same per-sample math, but XLA may reassociate the bf16
+        # contraction differently between the two compilations → up to one
+        # bf16 lsb (2.0 at [0, 255] magnitudes) on isolated elements
+        np.testing.assert_allclose(np.asarray(chunked[0]),
+                                   np.asarray(dense[0]), atol=2.0)
+        np.testing.assert_array_equal(np.asarray(chunked[1]),
+                                      np.asarray(dense[1]))
 
 
 def test_augment_sampling_matches_albumentations_ranges():
