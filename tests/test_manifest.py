@@ -81,11 +81,12 @@ def test_skip_if_current_producer_idempotence(tmp_path, capsys):
 
 
 def test_hash_tree_covers_files_beyond_content_cap(tmp_path):
-    """VERDICT r2 weak #6: with limit=N, mutating file N+k (even at the same
-    size) must still invalidate — the full listing's name/size/mtime digest
-    extends coverage past the content cap, and the cap is recorded."""
+    """VERDICT r2 weak #6 / r3 weak #8: with limit=N, a size-changing
+    mutation in file N+k must still invalidate (the full listing's name+size
+    digest extends coverage past the content cap, and the cap is recorded) —
+    but mtime must NOT participate, so re-copying byte-identical artifacts
+    keeps skip-if-current working after a dataset move."""
     import os
-    import time
 
     d = tmp_path / "train"
     d.mkdir()
@@ -94,21 +95,37 @@ def test_hash_tree_covers_files_beyond_content_cap(tmp_path):
     h1 = hash_tree(d, "*.png", limit=256)
     assert h1.endswith(":n300:cap256")
 
-    # same-size content mutation in file #299 (far beyond the cap): ensure a
-    # distinct mtime_ns, then the digest must change
+    # size-changing mutation in file #299 (far beyond the cap) invalidates
     target = d / "p299.png"
-    st = target.stat()
-    target.write_bytes(b"y" * 16)
-    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    target.write_bytes(b"y" * 17)
     assert hash_tree(d, "*.png", limit=256) != h1
 
-    # rewriting identical bytes within the content cap stays stable
-    (d / "p000.png").write_bytes(b"x" * 16)
-    st2 = target.stat()
-    h2 = hash_tree(d, "*.png", limit=256)
-    (d / "p000.png").write_bytes(b"x" * 16)
-    os.utime(target, ns=(st2.st_atime_ns, st2.st_mtime_ns))  # hold tail fixed
-    assert hash_tree(d, "*.png", limit=256) == h2
+    # restore the bytes but bump every mtime (a dataset re-copy): digest
+    # must be UNCHANGED — fresh mtimes alone never invalidate
+    target.write_bytes(b"x" * 16)
+    for p in d.glob("*.png"):
+        st = p.stat()
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    assert hash_tree(d, "*.png", limit=256) == h1
+
+
+def test_dataset_move_keeps_stage_current(tmp_path):
+    """VERDICT r3 item #10: moving/re-copying a dataset (identical bytes,
+    new mtimes) must not spuriously invalidate a downstream stage."""
+    import shutil
+
+    src = tmp_path / "data_v1"
+    src.mkdir()
+    for i in range(10):
+        (src / f"p{i}.png").write_bytes(bytes([i]) * 64)
+    cfg = {"lr": 0.1}
+    out = tmp_path / "out"
+    write_manifest(out, "stage2", {"train": hash_tree(src, limit=4)}, cfg)
+
+    moved = tmp_path / "data_v2"
+    shutil.copytree(src, moved)  # fresh mtimes everywhere
+    assert skip_if_current(out, "stage2",
+                           {"train": hash_tree(moved, limit=4)}, cfg)
 
 
 def test_check_lineage_refuses_mismatched_train_data(tmp_path, capsys):
