@@ -93,8 +93,11 @@ def test_stage5(
             if not ok:
                 continue
             oh, ow = (int(v) for v in batch["orig_hw"][j])
-            gt = batch["mask"][j][:oh, :ow]
-            patch_acc.add(pred[j][:oh, :ow], gt)
+            # reference accumulates the FULL padded patch (test_iou(output,
+            # mask_batch) BEFORE any crop, segmentation_test.py:139) — the
+            # reflect-padded gt rows are real class values and count; this
+            # matches stitched_validation so both repo paths agree.
+            patch_acc.add(pred[j], batch["mask"][j])
             if profile.name == "wsss4luad":
                 try:
                     slide, scale, y, xpos = parse_patch_name(batch["name"][j])
