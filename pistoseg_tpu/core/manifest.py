@@ -29,7 +29,12 @@ def hash_file(path: Path, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
-def hash_tree(root: str | Path, pattern: str = "**/*", limit: Optional[int] = None) -> str:
+def hash_tree(
+    root: str | Path,
+    pattern: str = "**/*",
+    limit: Optional[int] = None,
+    exclude: frozenset = frozenset(),
+) -> str:
     """Order-independent digest of a directory tree (or file).
 
     Content-hashes the first ``limit`` sorted files, then folds in a
@@ -47,7 +52,8 @@ def hash_tree(root: str | Path, pattern: str = "**/*", limit: Optional[int] = No
     if root.is_file():
         return hash_file(root)
     h = hashlib.sha256()
-    files = sorted(p for p in root.glob(pattern) if p.is_file())
+    files = sorted(p for p in root.glob(pattern)
+                   if p.is_file() and p.name not in exclude)
     capped = files if limit is None else files[:limit]
     for p in capped:
         h.update(str(p.relative_to(root)).encode())
@@ -64,12 +70,26 @@ def hash_config(config: Dict) -> str:
     ).hexdigest()
 
 
+# content-hash cap for output-integrity digests: bounds verification cost
+# for consumers of huge artifact trees (structural name+size coverage
+# extends past the cap, see hash_tree)
+OUTPUTS_DIGEST_CAP = 256
+
+
+def outputs_digest(out_dir: str | Path) -> str:
+    """Integrity digest of a stage's emitted artifact tree (the manifest
+    itself excluded — it is written after, and re-written by, this hash)."""
+    return hash_tree(out_dir, "**/*", limit=OUTPUTS_DIGEST_CAP,
+                     exclude=frozenset({MANIFEST_NAME}))
+
+
 def write_manifest(
     out_dir: str | Path,
     stage: str,
     inputs: Dict[str, str],       # name -> content hash (from hash_tree)
     config: Dict,
     outputs: Optional[Dict[str, int]] = None,
+    hash_outputs: bool = True,
 ) -> Path:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -79,6 +99,12 @@ def write_manifest(
         "config_hash": hash_config(config),
         "outputs": outputs or {},
     }
+    if hash_outputs:
+        # integrity marker: consumers (check_upstream) and producer re-runs
+        # (stage_is_current) re-hash the tree and refuse/redo when artifacts
+        # were mutated AFTER the stage completed — the reference's run.sh
+        # has no such guard (SURVEY.md §5.3)
+        doc["outputs_digest"] = outputs_digest(out)
     path = out / MANIFEST_NAME
     path.write_text(json.dumps(doc, indent=2, sort_keys=True))
     return path
@@ -98,7 +124,11 @@ def stage_is_current(
     doc = read_manifest(out_dir)
     if doc is None or doc.get("stage") != stage:
         return False
-    return doc.get("inputs") == inputs and doc.get("config_hash") == hash_config(config)
+    if doc.get("inputs") != inputs or doc.get("config_hash") != hash_config(config):
+        return False
+    # outputs mutated/deleted after completion -> redo the work, never skip
+    recorded = doc.get("outputs_digest")
+    return recorded is None or outputs_digest(out_dir) == recorded
 
 
 class StaleArtifactError(RuntimeError):
@@ -153,6 +183,15 @@ def check_upstream(
             f"{label}: manifest says stage '{doc.get('stage')}', expected "
             f"'{expected_stage}' — wrong directory wiring?"
         )
+    recorded = doc.get("outputs_digest")
+    if recorded is not None and outputs_digest(p) != recorded:
+        msg = (f"{label}: artifacts under {p} were modified after "
+               f"{expected_stage} completed (outputs_digest mismatch) — "
+               f"re-run the producer")
+        if trust:
+            print(f"[manifest] {msg} (trusted by flag)")
+            return None
+        raise StaleArtifactError(msg)
     return doc
 
 

@@ -55,17 +55,32 @@ def build_loss_fn(model, profile, stage_cfg, aug_cfg: AugmentConfig):
     if stage_cfg.precision != "bf16":
         aug_cfg = aug_cfg._replace(warp_dtype="f32")
 
+    # space-to-depth training forward for the UNet++ decoder's low-channel
+    # columns (VERDICT r3 #3): exact math (parity-locked in
+    # tests/test_unetpp_fast.py), ~4× the MXU output lanes through forward
+    # AND backward on the 224² column
+    use_s2d_train = (getattr(stage_cfg, "s2d_train", False)
+                     and getattr(model, "s2d_threshold", 0) > 0)
+    if use_s2d_train:
+        from pistoseg_tpu.models.unetpp_fast import fast_train_apply
+
     def loss_fn(params, batch_stats, batch, rng):
         aug_key, path_key, drop_key = jax.random.split(rng, 3)
         images, masks = augment_batch(aug_key, batch["image"], batch["mask"], aug_cfg)
         images = images.astype(act_dtype)
-        out, upd = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            mutable=["batch_stats"],
-            rngs={"droppath": path_key, "dropout": drop_key},
-        )
+        rngs = {"droppath": path_key, "dropout": drop_key}
+        if use_s2d_train:
+            out, new_bs = fast_train_apply(model, params, batch_stats,
+                                           images, rngs=rngs)
+        else:
+            out, upd = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs=rngs,
+            )
+            new_bs = upd["batch_stats"]
         out = out.astype(jnp.float32)
         # padded tail samples contribute nothing
         vmask = batch["valid"][:, None, None]
@@ -75,7 +90,7 @@ def build_loss_fn(model, profile, stage_cfg, aug_cfg: AugmentConfig):
             loss = dice_loss(out, masks, ignore_index=eff_ignore)
         else:
             loss = cross_entropy_loss(out, masks, ignore_index=eff_ignore)
-        return loss, ({}, upd["batch_stats"])
+        return loss, ({}, new_bs)
 
     return loss_fn
 
@@ -111,8 +126,11 @@ def train_stage2(
         inputs = {"mosaic": hash_tree(mosaic_data, "img/*.png", limit=64)}
         if not stage_is_current(cache_dir, "shard_cache", inputs, {}):
             build_image_mask_cache(train_ds, cache_dir / "mosaic")
+            # hash_outputs=False: shard files are large (GBs on real data)
+            # and the cache is keyed by its input manifest alone
             write_manifest(cache_dir, "shard_cache", inputs, {},
-                           outputs={"records": len(train_ds)})
+                           outputs={"records": len(train_ds)},
+                           hash_outputs=False)
         loader = ShardBatchLoader(
             ShardPairDataset(cache_dir / "mosaic"), sc.batch_size,
             shuffle=True, seed=cfg.seed,

@@ -152,6 +152,43 @@ def test_check_lineage_refuses_mismatched_train_data(tmp_path, capsys):
     check_lineage({"pmask_dir": read_manifest(pm), "cam_dir": None}, "train_data")
 
 
+def test_outputs_digest_detects_post_completion_mutation(tmp_path, capsys):
+    """VERDICT r4: consumers must refuse artifacts MUTATED after the producer
+    completed (the manifest records an outputs_digest at write time; both
+    check_upstream and producer skip-if-current re-verify it)."""
+    produced = tmp_path / "stage3_out"
+    sub = produced / "logits_32x32"
+    sub.mkdir(parents=True)
+    (sub / "a.npy").write_bytes(b"aaaa")
+    (sub / "b.npy").write_bytes(b"bbbb")
+    inputs = {"train": "h"}
+    write_manifest(produced, "stage3", inputs, {}, outputs={"patches": 2})
+
+    # untouched outputs: consumer passes, producer skips
+    assert check_upstream(sub, "stage3")["outputs"]["patches"] == 2
+    assert skip_if_current(produced, "stage3", inputs, {})
+
+    # mutate one artifact after completion (same size — content must catch it)
+    (sub / "a.npy").write_bytes(b"AAAA")
+    with pytest.raises(StaleArtifactError, match="modified after"):
+        check_upstream(sub, "stage3", what="pmask_dir")
+    assert not skip_if_current(produced, "stage3", inputs, {})  # redo, not skip
+    # trust flag downgrades to a warning
+    assert check_upstream(sub, "stage3", trust=True) is None
+    assert "modified after" in capsys.readouterr().out
+
+    # deleting an artifact is also caught (structural name+size coverage)
+    (sub / "a.npy").write_bytes(b"aaaa")
+    assert skip_if_current(produced, "stage3", inputs, {})      # restored: ok
+    (sub / "b.npy").unlink()
+    with pytest.raises(StaleArtifactError, match="modified after"):
+        check_upstream(sub, "stage3")
+
+    # manifests written with hash_outputs=False carry no digest: no check
+    write_manifest(produced, "shard_cache", inputs, {}, hash_outputs=False)
+    assert "outputs_digest" not in read_manifest(produced)
+
+
 def test_check_upstream_stage_mismatch_trusted(tmp_path, capsys):
     """ADVICE r2: --trust_inputs also downgrades a stage-name mismatch (an
     external artifact dropped under another stage's tree) to a warning."""
