@@ -70,12 +70,16 @@ def build_loss_fn(model, aug_cfg: AugmentConfig):
 def generate_cams_for_split(
     model, variables, crop_ds: CropListDataset, num_classes: int,
     batch_cap: int = 32, use_label_mask: bool = True, profile=None,
+    mesh=None,
 ):
     """Yield (stem, native_hw, ensembled CAM (H, W, C), label) per image.
 
     Canvas math follows ``generate_CAM.py:13-102``: per scale → crop
     forward → bilinear to crop size → overlap-add → normalize → resize to
-    native → sum over scales.
+    native → sum over scales.  With ``mesh``, the crop forward runs
+    data-parallel (batch sharded on 'data'; the reference DataParallels
+    this export, ``prepare_seg_inputs.py:78``); the canvas accumulation
+    stays single-device (tiny vs the ResNet38 forward).
     """
     from pistoseg_tpu.ops.augment import normalize as _norm
 
@@ -87,9 +91,21 @@ def generate_cams_for_split(
     # variables passed as an ARGUMENT: closing over them would embed the
     # full parameter tree as constants in the compiled program (the remote
     # compile service rejects >100MB request bodies)
-    forward = jax.jit(
-        lambda v, x: model.apply(v, _norm(x, mean, std), train=False)["cam"]
-    )
+    forward_fn = lambda v, x: model.apply(  # noqa: E731
+        v, _norm(x, mean, std), train=False)["cam"]
+    if mesh is not None:
+        from pistoseg_tpu.parallel.mesh import (
+            batch_sharding, pad_to_multiple, replicated)
+
+        repl, data = replicated(mesh), batch_sharding(mesh)
+        batch_cap = pad_to_multiple(batch_cap, mesh.size)
+        forward = jax.jit(forward_fn, in_shardings=(repl, data),
+                          out_shardings=data)
+        variables = jax.device_put(variables, repl)
+        put = lambda x: jax.device_put(x, data)  # noqa: E731
+    else:
+        forward = jax.jit(forward_fn)
+        put = jnp.asarray
     for i in range(len(crop_ds)):
         item = crop_ds[i]
         scale_canvases = []
@@ -102,7 +118,7 @@ def generate_cams_for_split(
                 if n_real < batch_cap:
                     pad = np.repeat(chunk[-1:], batch_cap - n_real, axis=0)
                     chunk = np.concatenate([chunk, pad], axis=0)
-                chunk_dev = jnp.asarray(chunk)
+                chunk_dev = put(chunk)
                 cam_dev = forward(variables, chunk_dev)
                 cam_dev = resize(cam_dev, (crops.shape[1], crops.shape[2]),
                                  method="linear")

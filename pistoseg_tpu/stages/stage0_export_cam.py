@@ -20,7 +20,7 @@ from pistoseg_tpu.core.config import Config
 from pistoseg_tpu.data.oeem import CropListDataset
 from pistoseg_tpu.models.wide_resnet import WideResNetClassifier
 from pistoseg_tpu.ops.cam import cam_to_artifact
-from pistoseg_tpu.stages.common import parse_cli
+from pistoseg_tpu.stages.common import parse_cli, stage_mesh
 from pistoseg_tpu.stages.stage0_cam import generate_cams_for_split
 
 
@@ -59,8 +59,11 @@ def export_cams(
 
     out.mkdir(parents=True, exist_ok=True)
     n = 0
+    # crop forwards run data-parallel over the mesh (the reference
+    # DataParallels this export, ``prepare_seg_inputs.py:78``)
     for stem, _hw, cam, _label in generate_cams_for_split(
-        model, variables, crop_ds, profile.num_classes, profile=profile
+        model, variables, crop_ds, profile.num_classes, profile=profile,
+        mesh=stage_mesh(cfg),
     ):
         # ensemble_scales already divides by len(scales) — the stored
         # artifact equals the prepare_seg_inputs.py:134 sum/len contract

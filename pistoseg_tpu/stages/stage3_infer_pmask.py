@@ -37,10 +37,10 @@ from pistoseg_tpu.ops.augment import imagenet_normalize
 from pistoseg_tpu.ops.palette import encode_palette_png
 from pistoseg_tpu.ops.resize import resize, resize_palette_pil
 from pistoseg_tpu.ops.tta import d4_forward
+from pistoseg_tpu.parallel.mesh import batch_sharding, pad_to_multiple, replicated
 from pistoseg_tpu.stages.common import parse_cli
 
 
-@partial(jax.jit, static_argnames=("logits_size", "bg_class"))
 def emit_outputs(
     logits: jnp.ndarray,     # (N, P, P, C) TTA-averaged logits
     labels: jnp.ndarray,     # (N, C) image-level multilabel
@@ -48,7 +48,10 @@ def emit_outputs(
     logits_size: int = 32,
     bg_class: int = 3,
 ):
-    """Fused post-processing (reference ``get_mask_pred_and_entropy``)."""
+    """Fused post-processing (reference ``get_mask_pred_and_entropy``).
+
+    Plain function: ``infer_stage3`` jits it with batch-dim shardings so
+    it runs data-parallel over the mesh alongside ``forward_full``."""
     small = resize(logits, (logits_size, logits_size), method="linear")
     # label masking: logits of classes absent from the image label → −1e10
     masked = jnp.where(labels[:, None, None, :] > 0, logits, -1e10)
@@ -93,21 +96,41 @@ def infer_stage3(
 
     # one jit over normalize + all 8 d4 views + inversion + mean (eager view
     # ops each cost a relay dispatch); variables/prep passed as ARGUMENTS so
-    # the weights aren't baked into the program as constants
-    from pistoseg_tpu.stages.common import make_infer_forward
+    # the weights aren't baked into the program as constants.
+    # Data-parallel over the mesh (VERDICT r3 #4): params replicated, batch
+    # sharded on 'data' — the reference's stage-3 runs on one GPU, but its
+    # sibling export stages DataParallel over all GPUs
+    # (prepare_seg_inputs.py:78, infer_revise_masks.py:110); here every
+    # inference stage rides the full slice.  Per-sample math never crosses
+    # the batch axis, so artifacts are device-count-invariant up to bf16
+    # reassociation noise (argmax outputs byte-identical) — locked by
+    # tests/test_multidevice_infer.py.
+    from pistoseg_tpu.stages.common import make_infer_forward, stage_mesh
 
+    mesh = stage_mesh(cfg)
+    repl, data = replicated(mesh), batch_sharding(mesh)
     fwd, prep = make_infer_forward(model, variables)
     if cfg.infer.tta:
-        forward_full = jax.jit(lambda v, p, imgs: d4_forward(
-            lambda b: fwd(v, p, b), imagenet_normalize(imgs)))
+        run_fwd = lambda v, p, imgs: d4_forward(  # noqa: E731
+            lambda b: fwd(v, p, b), imagenet_normalize(imgs))
     else:
-        forward_full = jax.jit(lambda v, p, imgs: fwd(
-            v, p, imagenet_normalize(imgs)))
+        run_fwd = lambda v, p, imgs: fwd(v, p, imagenet_normalize(imgs))  # noqa: E731
+    forward_full = jax.jit(run_fwd, in_shardings=(repl, repl, data),
+                           out_shardings=data)
+    # commit the weights replicated ONCE (restored trees are host numpy;
+    # left uncommitted they would re-transfer on every call)
+    variables = jax.device_put(variables, repl)
+    prep = jax.device_put(prep, repl)
+    emit = jax.jit(
+        partial(emit_outputs, logits_size=cfg.infer.logits_size,
+                bg_class=profile.bg_class),
+        in_shardings=(data, data, data), out_shardings=data)
 
     ds = PatchInferenceDataset(train_data, profile, sc.patch_size)
     if limit is not None:
         ds.paths = ds.paths[:limit]
-    loader = BatchLoader(ds, cfg.infer.batch_size)
+    # every batch (loader pads the tail) must divide over the mesh
+    loader = BatchLoader(ds, pad_to_multiple(cfg.infer.batch_size, mesh.size))
 
     (out / "logits_32x32").mkdir(parents=True, exist_ok=True)
     (out / "mask").mkdir(parents=True, exist_ok=True)
@@ -128,13 +151,12 @@ def infer_stage3(
     # batch's device work — it dominated the serial loop
     with ThreadPoolExecutor(max_workers=8) as pool:
         for batch in loader.epoch(0):
-            logits = forward_full(variables, prep, jnp.asarray(batch["image"]))
-            small, pred, entropy = emit_outputs(
+            logits = forward_full(
+                variables, prep, jax.device_put(batch["image"], data))
+            small, pred, entropy = emit(
                 logits,
-                jnp.asarray(batch["label"]),
-                jnp.asarray(batch["tissue"]),
-                logits_size=cfg.infer.logits_size,
-                bg_class=profile.bg_class,
+                jax.device_put(batch["label"], data),
+                jax.device_put(batch["tissue"], data),
             )
             small = np.asarray(small)
             pred = np.asarray(pred)

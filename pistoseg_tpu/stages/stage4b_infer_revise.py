@@ -81,8 +81,8 @@ def infer_stage4b(
     tree = ckpt.restore("rfm")
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
-    @jax.jit
-    def forward(v, x, pmask, pcam, label):
+    def forward_fn(v, x, pmask, pcam, label):
+        x = imagenet_normalize(x)
         _, cam_rv, pmask_rv, pcam_rv = model.apply(v, x, pmask, pcam, train=False)
         lbl = label[:, None, None, :]
         preds = []
@@ -91,10 +91,23 @@ def infer_stage4b(
             preds.append(jnp.argmax(fg, axis=-1).astype(jnp.uint8))
         return preds  # [pmask, pcam, cam] fg-class argmaxes
 
+    # data-parallel over the mesh (reference DataParallels this stage,
+    # infer_revise_masks.py:110): params replicated, batch sharded
+    from pistoseg_tpu.parallel.mesh import (
+        batch_sharding, pad_to_multiple, replicated)
+    from pistoseg_tpu.stages.common import stage_mesh
+
+    mesh = stage_mesh(cfg)
+    repl, data = replicated(mesh), batch_sharding(mesh)
+    forward = jax.jit(forward_fn,
+                      in_shardings=(repl, data, data, data, data),
+                      out_shardings=data)
+    variables = jax.device_put(variables, repl)
+
     ds = RefineDataset(train_data, pmask_dir, cam_dir, profile, rc.infer_size)
     if limit is not None:
         ds.paths = ds.paths[:limit]
-    loader = BatchLoader(ds, cfg.infer.batch_size)
+    loader = BatchLoader(ds, pad_to_multiple(cfg.infer.batch_size, mesh.size))
 
     for sub in ("pmask", "pcam", "cam"):
         (out / sub).mkdir(parents=True, exist_ok=True)
@@ -103,8 +116,9 @@ def infer_stage4b(
 
     n_done = 0
     for batch in loader.epoch(0):
-        pmask, pcam, label = prepare_batch(batch)
-        x = imagenet_normalize(jnp.asarray(batch["image"]))
+        pmask, pcam, label = (jax.device_put(t, data)
+                              for t in prepare_batch(batch))
+        x = jax.device_put(batch["image"], data)
         preds = [np.asarray(p) for p in forward(variables, x, pmask, pcam, label)]
         for j, ok in enumerate(batch["valid"]):
             if not ok:

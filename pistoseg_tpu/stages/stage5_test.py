@@ -70,24 +70,39 @@ def test_stage5(
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
     from pistoseg_tpu.stages.common import make_infer_forward
 
+    # data-parallel over the mesh (VERDICT r3 #4): replicated weights,
+    # batch sharded; artifacts are device-count-invariant (locked by
+    # tests/test_multidevice_infer.py)
+    from pistoseg_tpu.parallel.mesh import (
+        batch_sharding, pad_to_multiple, replicated)
+    from pistoseg_tpu.stages.common import stage_mesh
+
+    mesh = stage_mesh(cfg)
+    repl, data = replicated(mesh), batch_sharding(mesh)
     fwd, prep = make_infer_forward(model, variables)
     if sc.tta:
-        forward_full = jax.jit(lambda v, p, imgs: jax.nn.softmax(d4_forward(
-            lambda b: fwd(v, p, b), imagenet_normalize(imgs)), axis=-1))
+        run_fwd = lambda v, p, imgs: jax.nn.softmax(d4_forward(  # noqa: E731
+            lambda b: fwd(v, p, b), imagenet_normalize(imgs)), axis=-1)
     else:
-        forward_full = jax.jit(lambda v, p, imgs: jax.nn.softmax(fwd(
-            v, p, imagenet_normalize(imgs)), axis=-1))
+        run_fwd = lambda v, p, imgs: jax.nn.softmax(fwd(  # noqa: E731
+            v, p, imagenet_normalize(imgs)), axis=-1)
+    forward_full = jax.jit(run_fwd, in_shardings=(repl, repl, data),
+                           out_shardings=data)
+    variables = jax.device_put(variables, repl)
+    prep = jax.device_put(prep, repl)
 
     big_root = big_root or str(Path(test_data).parent)
     natives = native_size_map(big_root)
 
-    loader = BatchLoader(EvalPatchDataset(test_data, sc.patch_size), cfg.infer.batch_size)
+    loader = BatchLoader(EvalPatchDataset(test_data, sc.patch_size),
+                         pad_to_multiple(cfg.infer.batch_size, mesh.size))
     patch_acc = MIoUAccumulator(num_classes)
     stitcher = CanvasStitcher(num_classes)
     bcss_outputs = []
 
     for batch in loader.epoch(0):
-        probs = np.asarray(forward_full(variables, prep, jnp.asarray(batch["image"])))
+        probs = np.asarray(forward_full(
+            variables, prep, jax.device_put(batch["image"], data)))
         pred = probs.argmax(-1).astype(np.uint8)
         for j, ok in enumerate(batch["valid"]):
             if not ok:
