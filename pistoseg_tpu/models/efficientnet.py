@@ -91,6 +91,7 @@ class MBConv(nn.Module):
     expand_ratio: int
     kernel: int
     stride: int
+    dilation: int = 1
     drop_rate: float = 0.0
     bn_momentum: float = 0.9
     bn_eps: float = 1e-3
@@ -124,6 +125,7 @@ class MBConv(nn.Module):
             c_exp,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
             padding="SAME",
             feature_group_count=c_exp,
             use_bias=False,
@@ -158,6 +160,11 @@ class EfficientNetEncoder(nn.Module):
     drop_path_rate: float = 0.2
     bn_momentum: float = 0.9
     dtype: Any = jnp.float32
+    # 16 = smp make_dilated semantics for DeepLabV3+: the r32 stages' first
+    # stride becomes 1 and every conv there is dilated ×2, so the deepest
+    # feature stays on the r16 grid (smp encoders/_utils.py
+    # replace_strides_with_dilation; dilation is a no-op for 1×1 convs)
+    output_stride: int = 32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
@@ -180,8 +187,11 @@ class EfficientNetEncoder(nn.Module):
         for stage_i, (expand, kernel, stride, base_c, base_r) in enumerate(_BASE_STAGES):
             out_ch = round_filters(base_c, w)
             repeats = round_repeats(base_r, d)
+            # stages 5-6 produce the r32 features; at output_stride 16 they
+            # run undownsampled with ×2-dilated depthwise convs
+            dilated = self.output_stride == 16 and stage_i >= 5
             for r in range(repeats):
-                s = stride if r == 0 else 1
+                s = 1 if dilated else (stride if r == 0 else 1)
                 drop = self.drop_path_rate * block_idx / max(total_blocks, 1)
                 x = MBConv(
                     in_channels=in_ch,
@@ -189,6 +199,7 @@ class EfficientNetEncoder(nn.Module):
                     expand_ratio=expand,
                     kernel=kernel,
                     stride=s,
+                    dilation=2 if dilated else 1,
                     drop_rate=drop,
                     bn_momentum=self.bn_momentum,
                     dtype=self.dtype,

@@ -424,6 +424,119 @@ def test_unetpp_scse_decoder_forward_parity(encoder):
                                rtol=1e-4, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# DeepLabV3+ decoder parity (VERDICT r3 #6): flax decoder + head vs the smp
+# 0.3.0 DeepLabV3PlusDecoder spec (deeplabv3/decoder.py: separable ASPP at
+# rates 12/24/36, pooled branch, Dropout-projected concat, separable conv,
+# ×4 align-corners upsample, 48-ch low-level fusion, separable fuse, 1×1
+# head, ×4 align-corners upsample) re-executed functionally in torch.
+# ---------------------------------------------------------------------------
+
+
+def _dl_cbr1(x, p, stats):
+    """Conv1x1(bias=False) + eval BN + ReLU from flax param/stat dicts."""
+    w = torch.tensor(np.transpose(np.asarray(p["conv"]["kernel"]), (3, 2, 0, 1)))
+    y = F.conv2d(x, w)
+    y = F.batch_norm(
+        y, torch.tensor(np.asarray(stats["bn"]["mean"])),
+        torch.tensor(np.asarray(stats["bn"]["var"])),
+        torch.tensor(np.asarray(p["bn"]["scale"])),
+        torch.tensor(np.asarray(p["bn"]["bias"])), training=False, eps=1e-5)
+    return F.relu(y)
+
+
+def _dl_sep(x, p, stats, dilation=1):
+    """smp SeparableConv2d(+BN+ReLU): dw 3×3 (groups=C, padding=dilation)
+    → pw 1×1 → BN → ReLU, all bias-free."""
+    c = x.shape[1]
+    dw = torch.tensor(np.transpose(np.asarray(p["dw"]["kernel"]), (3, 2, 0, 1)))
+    y = F.conv2d(x, dw, padding=dilation, dilation=dilation, groups=c)
+    pw = torch.tensor(np.transpose(np.asarray(p["pw"]["kernel"]), (3, 2, 0, 1)))
+    y = F.conv2d(y, pw)
+    y = F.batch_norm(
+        y, torch.tensor(np.asarray(stats["bn"]["mean"])),
+        torch.tensor(np.asarray(stats["bn"]["var"])),
+        torch.tensor(np.asarray(p["bn"]["scale"])),
+        torch.tensor(np.asarray(p["bn"]["bias"])), training=False, eps=1e-5)
+    return F.relu(y)
+
+
+def test_deeplab_decoder_forward_parity():
+    from pistoseg_tpu.models.deeplab import DeepLabV3PlusDecoder
+
+    rs = np.random.RandomState(6)
+    # input would be 64²: r4 tap 16² (b0: 24 ch), dilated deepest tap at
+    # r16 = 4² (b0: 320 ch — smp make_dilated keeps it on the r16 grid)
+    r4 = jnp.asarray(rs.randn(2, 16, 16, 24).astype(np.float32) * 0.5)
+    deepest = jnp.asarray(rs.randn(2, 4, 4, 320).astype(np.float32) * 0.5)
+    dummy = jnp.zeros((2, 32, 32, 32), jnp.float32)
+    feats = [dummy, r4, jnp.zeros((2, 8, 8, 40)), jnp.zeros((2, 4, 4, 112)),
+             deepest]
+
+    decoder = DeepLabV3PlusDecoder(256, dtype=jnp.float32)
+    variables = decoder.init(jax.random.PRNGKey(0), feats)
+
+    def rand_like(path, v):
+        leaf = str(path[-1])
+        if "var" in leaf:
+            return jnp.asarray(rs.rand(*v.shape).astype(np.float32) + 0.5)
+        if leaf in ("scale", "bias", "mean"):
+            return jnp.asarray(rs.randn(*v.shape).astype(np.float32) * 0.3 + 1.0)
+        if "kernel" in leaf:
+            return jnp.asarray(rs.randn(*v.shape).astype(np.float32) * 0.3)
+        return v
+    variables = jax.tree_util.tree_map_with_path(rand_like, variables)
+
+    ref = decoder.apply(variables, feats, train=False)
+
+    p, st = variables["params"], variables["batch_stats"]
+    x = _t(np.asarray(deepest))
+    # ASPP: 1×1 branch, three separable dilated branches, pooled branch
+    aspp_p, aspp_s = p["aspp"], st["aspp"]
+    branches = [_dl_cbr1(x, aspp_p["branch0"], aspp_s["branch0"])]
+    for i, rate in enumerate((12, 24, 36)):
+        branches.append(_dl_sep(x, aspp_p[f"branch{i + 1}"],
+                                aspp_s[f"branch{i + 1}"], dilation=rate))
+    gp = x.mean(dim=(2, 3), keepdim=True)
+    gp = _dl_cbr1(gp, aspp_p["pool_branch"], aspp_s["pool_branch"])
+    branches.append(F.interpolate(gp, size=x.shape[2:], mode="bilinear",
+                                  align_corners=False))
+    y = torch.cat(branches, dim=1)
+    y = _dl_cbr1(y, aspp_p["project"], aspp_s["project"])
+    # (Dropout is eval-identity) → separable conv → ×4 align-corners up
+    y = _dl_sep(y, p["aspp_sep"], st["aspp_sep"])
+    y = F.interpolate(y, scale_factor=4, mode="bilinear", align_corners=True)
+    low = _dl_cbr1(_t(np.asarray(r4)), p["block1"], st["block1"])
+    y = torch.cat([y, low], dim=1)
+    y = _dl_sep(y, p["block2"], st["block2"])
+
+    # activations here are O(60) (randomized BN affine on 320-ch dilated
+    # convs), so atol scales accordingly; measured worst |Δ| = 1.6e-4
+    np.testing.assert_allclose(np.asarray(ref), _nhwc(y),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_deeplab_dilated_encoder_output_stride():
+    """smp make_dilated semantics: with output_stride=16 the deepest
+    feature stays on the r16 grid with the r32 channel count, and the r32
+    stages' depthwise convs are ×2-dilated (strides all 1)."""
+    from pistoseg_tpu.models.efficientnet import EfficientNetEncoder
+
+    enc = EfficientNetEncoder("efficientnet-b0", dtype=jnp.float32,
+                              output_stride=16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x, train=False)
+    shapes = [tuple(f.shape) for f in feats]
+    assert shapes[-1] == (1, 4, 4, 320)     # r16 grid, r32 channels
+    assert shapes[-2] == (1, 4, 4, 112)     # natural r16 tap unchanged
+    assert shapes[:3] == [(1, 32, 32, 32), (1, 16, 16, 24), (1, 8, 8, 40)]
+    # default output_stride keeps the reference pyramid
+    enc32 = EfficientNetEncoder("efficientnet-b0", dtype=jnp.float32)
+    feats32 = enc32.apply(enc32.init(jax.random.PRNGKey(0), x), x, train=False)
+    assert tuple(feats32[-1].shape) == (1, 2, 2, 320)
+
+
 def test_stage2_loss_value_parity_fixed_batch():
     """Stage-2 training loss on a fixed batch: flax decoder+head+Dice vs
     the same computation re-executed in torch (smp DiceLoss multiclass,
