@@ -171,6 +171,12 @@ class TrainStageConfig:
     cutmix_prob: float = 0.8
     val_scales: Tuple[float, ...] = (1.0,)
     precision: str = "bf16"              # activations dtype: 'bf16' | 'fp32'
+    # train the UNet++ decoder's low-channel columns in the space-to-depth
+    # layout (exact math — see unetpp_fast.fast_train_forward).  Default
+    # OFF: measured exactly neutral on v5e (PERF.md round-4 negative
+    # result — XLA already space-blocks the training convs); kept as a
+    # validated lever for hardware with different lane economics.
+    s2d_train: bool = False
     # mid-epoch resume granularity: snapshot the full train state every N
     # steps (0 = end-of-epoch only).  SURVEY.md §5.4's TPU-equivalent bar.
     checkpoint_every_steps: int = 0

@@ -300,19 +300,22 @@ def _upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
-def fast_forward(
-    prep: Dict,
+def _decoder_loop(
+    block_fn,
+    head_fn,
     features: Sequence[jnp.ndarray],
     decoder_channels: Sequence[int],
     attention: Optional[str],
-    threshold: int = 32,
-    dtype: Any = jnp.float32,
+    threshold: int,
+    dtype: Any,
 ) -> jnp.ndarray:
-    """UNet++ decoder + head forward over a prepared tree.
+    """The shared UNet++ dense-grid walk (smp wiring, s2d column routing,
+    cached scSE pooling) — parameterized over how a block/head computes so
+    the prep-folded inference path and the train-mode BN path run the SAME
+    wiring (``fast_forward`` / ``fast_train_forward``).
 
-    Mirrors ``unetpp.UnetPlusPlusDecoder.__call__`` exactly (same smp
-    wiring, ``mosaic_module.py:78-86``); columns selected by
-    :func:`_col_use_s2d` run in the space-to-depth layout.
+    ``block_fn(name, x, skips, s2d, pooled1, need_mean) -> (y, mean|None)``;
+    ``head_fn(y, s2d) -> logits`` (s2d output is depth_to_space'd here).
     """
     feats = list(features)[::-1]               # deepest first
     depth = len(feats) - 1
@@ -353,8 +356,8 @@ def fast_forward(
         # concat channel order (mean of upsample == mean of its source)
         pooled1 = (jnp.concatenate(pooled_parts, axis=-1)
                    if (skips and scse) else None)
-        y, m = _block(prep[f"x_{d}_{li}"], x, skips, attention, s2d,
-                      pooled1, need_mean and scse)
+        y, m = block_fn(f"x_{d}_{li}", x, skips, s2d,
+                        pooled1, need_mean and scse)
         if m is not None:
             means[(d, li)] = m
         dense_s2d[(d, li)] = y if s2d else None
@@ -383,16 +386,171 @@ def fast_forward(
     # final column: ×2 to input resolution, no skip
     run(0, depth, dense[(0, depth - 1)], [], [], False)
 
-    hk = prep["head"]["kernel"].astype(jnp.float32)
-    hb = prep["head"]["bias"].astype(jnp.float32)
     if use_s2d[depth]:
-        y = dense_s2d[(0, depth)].astype(jnp.float32)
-        out = lax.conv_general_dilated(y, hk, (1, 1), "SAME",
-                                       dimension_numbers=_DN) + hb
-        return depth_to_space(out)
-    y = dense[(0, depth)].astype(jnp.float32)
-    return lax.conv_general_dilated(y, hk, (1, 1), "SAME",
-                                    dimension_numbers=_DN) + hb
+        return depth_to_space(head_fn(dense_s2d[(0, depth)], True))
+    return head_fn(dense[(0, depth)], False)
+
+
+def fast_forward(
+    prep: Dict,
+    features: Sequence[jnp.ndarray],
+    decoder_channels: Sequence[int],
+    attention: Optional[str],
+    threshold: int = 32,
+    dtype: Any = jnp.float32,
+) -> jnp.ndarray:
+    """UNet++ decoder + head forward over a prepared tree.
+
+    Mirrors ``unetpp.UnetPlusPlusDecoder.__call__`` exactly (same smp
+    wiring, ``mosaic_module.py:78-86``); columns selected by
+    :func:`_col_use_s2d` run in the space-to-depth layout.
+    """
+
+    def block_fn(name, x, skips, s2d, pooled1, need_mean):
+        return _block(prep[name], x, skips, attention, s2d, pooled1,
+                      need_mean)
+
+    def head_fn(y, s2d):
+        del s2d  # prep["head"] is already in the matching layout
+        hk = prep["head"]["kernel"].astype(jnp.float32)
+        hb = prep["head"]["bias"].astype(jnp.float32)
+        return lax.conv_general_dilated(y.astype(jnp.float32), hk, (1, 1),
+                                        "SAME", dimension_numbers=_DN) + hb
+
+    return _decoder_loop(block_fn, head_fn, features, decoder_channels,
+                         attention, threshold, dtype)
+
+
+# --- train-mode path (VERDICT r4: extend the s2d win to training) -----------
+#
+# The block-kernel re-layout is a per-sample identity, so the only training-
+# specific question is BatchNorm's BATCH statistics: the spatial moments
+# over (N, H, W) of a reference-layout channel equal the phase-pooled
+# moments over (N, H/2, W/2, 4 phases) of its s2d channels — same elements,
+# same counts, different summation order.  Variance likewise when computed
+# around the pooled mean (flax ``use_fast_variance=False`` semantics:
+# mean((x - mean)²)).  Kernels are re-laid out IN-TRACE from the reference-
+# layout parameters (36 tiny scatters on a (3,3,C,4C') tensor — negligible
+# next to the conv), so autodiff maps gradients straight back to the
+# reference parameter tree and checkpoints/optimizer state are untouched.
+
+
+def _bn_train(bn_p: Dict, bn_s: Dict, y: jnp.ndarray, s2d: bool,
+              momentum: float = 0.9):
+    """Train-mode BatchNorm over either layout → (normalized, new_stats).
+
+    Stats are computed in f32 (flax promotes too) and phase-pooled in s2d
+    layout, so ``new_stats`` is EXACTLY the reference-layout update: the
+    running tree stays checkpoint-compatible with ``ConvBNReLU``."""
+    yf = y.astype(jnp.float32)
+    mean_l = jnp.mean(yf, axis=(0, 1, 2))              # (4C,) or (C,)
+    mean = mean_l.reshape(-1, 4).mean(-1) if s2d else mean_l
+    mean_b = _rep4(mean) if s2d else mean
+    centered = yf - mean_b
+    var_l = jnp.mean(centered * centered, axis=(0, 1, 2))
+    var = var_l.reshape(-1, 4).mean(-1) if s2d else var_l
+    var_b = _rep4(var) if s2d else var
+    scale = bn_p["scale"].astype(jnp.float32)
+    bias = bn_p["bias"].astype(jnp.float32)
+    if s2d:
+        scale, bias = _rep4(scale), _rep4(bias)
+    yn = centered * (lax.rsqrt(var_b + _BN_EPS) * scale) + bias
+    new_stats = {
+        "mean": bn_s["mean"] * momentum + (1.0 - momentum) * mean,
+        "var": bn_s["var"] * momentum + (1.0 - momentum) * var,
+    }
+    return yn.astype(y.dtype), new_stats
+
+
+def _conv_bn_relu_train(bp_conv: Dict, bs_conv: Dict, x: jnp.ndarray,
+                        s2d: bool, collapse: bool, momentum: float):
+    """ConvBNReLU (train=True) with the kernel re-laid out in-trace."""
+    w = bp_conv["Conv_0"]["kernel"]
+    if s2d:
+        w = s2d_kernel_collapsed(w) if collapse else s2d_kernel(w)
+    y = lax.conv_general_dilated(x, w.astype(x.dtype), (1, 1), "SAME",
+                                 dimension_numbers=_DN)
+    yn, new_stats = _bn_train(bp_conv["BatchNorm_0"], bs_conv["BatchNorm_0"],
+                              y, s2d, momentum)
+    return nn_relu(yn), {"BatchNorm_0": new_stats}
+
+
+def fast_train_forward(
+    decoder_params: Dict,
+    decoder_stats: Dict,
+    head_params: Dict,
+    features: Sequence[jnp.ndarray],
+    decoder_channels: Sequence[int],
+    attention: Optional[str],
+    threshold: int = 16,
+    dtype: Any = jnp.float32,
+    bn_momentum: float = 0.9,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Train-mode decoder + head in the s2d layout → (logits, new_stats).
+
+    Numerically equivalent to ``UnetPlusPlusDecoder(train=True)`` + head
+    (exact in f32 — tests/test_unetpp_fast.py locks logits, grads AND the
+    batch_stats update); runs the ≤threshold columns on the half-res grid
+    with 4× the MXU output lanes through forward AND backward."""
+    new_stats: Dict = {}
+
+    def block_fn(name, x, skips, s2d, pooled1, need_mean):
+        bp, bs = decoder_params[name], decoder_stats[name]
+        if skips:
+            x = jnp.concatenate([x] + [s.astype(x.dtype) for s in skips],
+                                axis=-1)
+            if attention == "scse":
+                x = _scse(_prep_scse(bp["attention1"], s2d, dtype), x, s2d,
+                          pooled1)
+        collapse1 = s2d and not skips   # final block: input is a pure ×2 up
+        x, st1 = _conv_bn_relu_train(bp["conv1"], bs["conv1"], x, s2d,
+                                     collapse1, bn_momentum)
+        x, st2 = _conv_bn_relu_train(bp["conv2"], bs["conv2"], x, s2d,
+                                     False, bn_momentum)
+        if attention == "scse":
+            x = _scse(_prep_scse(bp["attention2"], s2d, dtype), x, s2d,
+                      global_mean(x, s2d))
+        new_stats[name] = {"conv1": st1, "conv2": st2}
+        mean_out = global_mean(x, s2d) if need_mean else None
+        return x, mean_out
+
+    def head_fn(y, s2d):
+        hk = head_params["kernel"].astype(jnp.float32)
+        hb = head_params["bias"].astype(jnp.float32)
+        if s2d:
+            hk, hb = s2d_kernel(hk), _rep4(hb)
+        return lax.conv_general_dilated(y.astype(jnp.float32), hk, (1, 1),
+                                        "SAME", dimension_numbers=_DN) + hb
+
+    # _block is bypassed here (BN sits between the convs), but the loop —
+    # wiring, s2d routing, cached scSE pooling — is the shared one
+    logits = _decoder_loop(block_fn, head_fn, features, decoder_channels,
+                           attention, threshold, dtype)
+    return logits, new_stats
+
+
+def fast_train_apply(model, params: Dict, batch_stats: Dict, x: jnp.ndarray,
+                     rngs: Optional[Dict] = None) -> Tuple[jnp.ndarray, Dict]:
+    """Full-model train forward with the s2d decoder → (logits, new_bs).
+
+    Drop-in for ``model.apply(..., train=True, mutable=['batch_stats'])``
+    in the stage-2/5 loss functions: the encoder runs the stock flax path
+    (its layouts are already MXU-friendly), the decoder+head run
+    :func:`fast_train_forward`.  The returned batch_stats tree has the
+    exact reference structure."""
+    feats, enc_upd = model.apply(
+        {"params": params, "batch_stats": batch_stats}, x,
+        train=True, mutable=["batch_stats"], method="encode",
+        rngs=rngs or {},
+    )
+    logits, dec_stats = fast_train_forward(
+        params["decoder"], batch_stats["decoder"], params["head"],
+        feats, tuple(model.decoder_channels), model.attention,
+        model.s2d_threshold, model.dtype,
+    )
+    new_bs = dict(enc_upd["batch_stats"])
+    new_bs["decoder"] = dec_stats
+    return logits, new_bs
 
 
 def fast_decoder_head(

@@ -14,6 +14,7 @@ from jax import lax
 from pistoseg_tpu.models.unetpp import UnetPlusPlus
 from pistoseg_tpu.models.unetpp_fast import (
     depth_to_space,
+    fast_train_apply,
     make_fast_infer,
     s2d_kernel,
     s2d_kernel_collapsed,
@@ -67,6 +68,70 @@ def test_make_fast_infer_matches_fast_eval():
     fast = jax.jit(infer)(variables, prep, x)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def _train_setup(threshold, seed=5):
+    model = UnetPlusPlus(num_classes=3, encoder_name="efficientnet-b0",
+                         dtype=jnp.float32, s2d_threshold=threshold)
+    x = jnp.asarray(np.random.RandomState(seed).rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(7), x)
+    rngs = {"dropout": jax.random.PRNGKey(11),
+            "droppath": jax.random.PRNGKey(12)}
+    return model, variables, x, rngs
+
+
+@pytest.mark.parametrize("threshold", [16, 32])
+def test_fast_train_matches_reference_train_forward(threshold):
+    """VERDICT r3 #3: train-mode s2d forward == flax train forward in f32 —
+    logits AND the full batch_stats update (phase-pooled BN moments are
+    exactly the reference spatial moments)."""
+    model, variables, x, rngs = _train_setup(threshold)
+    ref, upd = model.apply(variables, x, train=True,
+                           mutable=["batch_stats"], rngs=rngs)
+    fast, new_bs = fast_train_apply(model, variables["params"],
+                                    variables["batch_stats"], x, rngs=rngs)
+    # identity up to f32 reduction order (measured worst case 1.5e-5)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=2e-5)
+    ref_bs = upd["batch_stats"]
+    assert (jax.tree_util.tree_structure(ref_bs)
+            == jax.tree_util.tree_structure(new_bs))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_bs),
+        jax.tree_util.tree_leaves_with_path(new_bs),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_fast_train_grads_match_reference():
+    """Gradients through the in-trace kernel re-layout land on the
+    reference-layout parameters exactly (scatter transpose = gather)."""
+    model, variables, x, rngs = _train_setup(16)
+    params, bs = variables["params"], variables["batch_stats"]
+    w = jnp.asarray(np.random.RandomState(9).randn(2, 64, 64, 3), jnp.float32)
+
+    def loss_ref(p):
+        out, _ = model.apply({"params": p, "batch_stats": bs}, x,
+                             train=True, mutable=["batch_stats"], rngs=rngs)
+        return jnp.mean(out * w)
+
+    def loss_fast(p):
+        out, _ = fast_train_apply(model, p, bs, x, rngs=rngs)
+        return jnp.mean(out * w)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_fast = jax.grad(loss_fast)(params)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fast),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa))
 
 
 @pytest.mark.parametrize("threshold", [16, 32, 64])
