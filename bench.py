@@ -206,6 +206,249 @@ def bench_stage4_train():
     return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch}
 
 
+def bench_stage5_train():
+    """Stage-5 train step: UNet++/EfficientNet-b3, CE loss, s2d train path."""
+    from pistoseg_tpu.core.config import Config
+    from pistoseg_tpu.ops.augment import AugmentConfig
+    from pistoseg_tpu.models.factory import create_segmentation_model
+    from pistoseg_tpu.stages.stage2_mosaic import build_loss_fn
+    from pistoseg_tpu.train.loop import make_train_step
+    from pistoseg_tpu.train.optim import adamw_exponential
+    from pistoseg_tpu.train.state import create_train_state
+
+    batch = 32
+    cfg = Config()
+    profile = cfg.profile
+    sc = cfg.seg                       # b3, ce (run.sh:31-35)
+    model = create_segmentation_model(sc.model, sc.encoder, profile.num_classes,
+                                      sc.decoder_attention, dtype=jnp.bfloat16)
+    tx = adamw_exponential(sc.lr, sc.weight_decay, sc.lr_decay, 100)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((batch, SIZE, SIZE, 3), jnp.bfloat16), tx,
+    )
+    aug_cfg = AugmentConfig(out_size=SIZE, rrc_scale=(0.9, 1.0))
+    step = make_train_step(build_loss_fn(model, profile, sc, aug_cfg))
+
+    rs = np.random.RandomState(0)
+    dev = jax.devices()[0]
+    batch_data = {
+        "image": jax.device_put(jnp.asarray(rs.rand(batch, SIZE, SIZE, 3), jnp.float32), dev),
+        "mask": jax.device_put(jnp.asarray(rs.randint(0, 4, (batch, SIZE, SIZE)), jnp.int32), dev),
+        "valid": jax.device_put(jnp.ones((batch,), bool), dev),
+    }
+    rng = jax.random.PRNGKey(1)
+    state, m = step(state, batch_data, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, m = step(state, batch_data, rng)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch}
+
+
+def bench_stage0_train():
+    """Stage-0 train step: wideResNet classifier, BCE, PolySGD (OEEM train.py)."""
+    from pistoseg_tpu.core.config import Config
+    from pistoseg_tpu.models.wide_resnet import WideResNetClassifier
+    from pistoseg_tpu.ops.augment import AugmentConfig
+    from pistoseg_tpu.stages.stage0_cam import build_loss_fn
+    from pistoseg_tpu.train.loop import make_train_step
+    from pistoseg_tpu.train.optim import (
+        WIDERESNET_MULTIPLIERS, poly_sgd_grouped, wideresnet_group_fn,
+    )
+    from pistoseg_tpu.train.state import create_train_state
+
+    batch = 16
+    cfg = Config()
+    profile = cfg.profile
+    model = WideResNetClassifier(num_classes=profile.num_classes)
+    tx = poly_sgd_grouped(0.01, 1000, wideresnet_group_fn,
+                          WIDERESNET_MULTIPLIERS)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), tx)
+    aug_cfg = AugmentConfig(out_size=SIZE, rrc_scale=(0.7, 1.0),
+                            ssr_p=0.0, distort_p=0.0)
+    step = make_train_step(build_loss_fn(model, aug_cfg))
+    rs = np.random.RandomState(0)
+    dev = jax.devices()[0]
+    batch_data = {
+        "image": jax.device_put(jnp.asarray(rs.rand(batch, SIZE, SIZE, 3), jnp.float32), dev),
+        "label": jax.device_put(jnp.ones((batch, profile.num_classes), jnp.float32), dev),
+        "valid": jax.device_put(jnp.ones((batch,), bool), dev),
+    }
+    rng = jax.random.PRNGKey(1)
+    state, m = step(state, batch_data, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, m = step(state, batch_data, rng)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch}
+
+
+def bench_aux_forwards():
+    """Forward-only throughputs for the e2e model: wideResNet CAM crops
+    (stage 0b), RFM @256² (stage 4b), UNet++-b3 fast inference (stage 5-test)."""
+    from pistoseg_tpu.models.factory import create_segmentation_model
+    from pistoseg_tpu.models.rfm import ReviseNet
+    from pistoseg_tpu.models.unetpp_fast import make_fast_infer
+    from pistoseg_tpu.models.wide_resnet import WideResNetClassifier
+    from pistoseg_tpu.train.state import create_train_state
+    import optax
+
+    dev = jax.devices()[0]
+    rs = np.random.RandomState(0)
+    out = {}
+
+    # wideResNet CAM crop forward (stage 0b), batch 32 @224²
+    wrn = WideResNetClassifier(num_classes=3)
+    st = create_train_state(wrn, jax.random.PRNGKey(0),
+                            jnp.zeros((1, SIZE, SIZE, 3)), optax.sgd(0.1))
+    vs = jax.device_put({"params": st.params, "batch_stats": st.batch_stats}, dev)
+    x = jax.device_put(jnp.asarray(rs.rand(32, SIZE, SIZE, 3), jnp.bfloat16), dev)
+
+    @jax.jit
+    def wrn_run(v, xx):
+        # mean (not a single-element slice) so XLA cannot narrow the batch
+        return jnp.mean(wrn.apply(v, xx, train=False)["cam"])
+    float(wrn_run(vs, x))
+    out["wrn_cam_fwd_pps"] = 32 / _timed(wrn_run, vs, x, iters=10)
+
+    # RFM forward @256² batch 16 (stage 4b infer size, infer_revise_masks.py:46)
+    n_ch = 4
+    rfm = ReviseNet(num_classes=n_ch, dtype=jnp.bfloat16, use_pallas=True)
+    st = create_train_state(
+        rfm, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 32, 32, n_ch)),
+         jnp.zeros((1, 32, 32, n_ch))), optax.sgd(0.1))
+    vs = jax.device_put({"params": st.params, "batch_stats": st.batch_stats}, dev)
+    xs = (jax.device_put(jnp.asarray(rs.rand(16, 256, 256, 3), jnp.float32), dev),
+          jax.device_put(jnp.asarray(rs.rand(16, 32, 32, n_ch), jnp.float32), dev),
+          jax.device_put(jnp.asarray(rs.rand(16, 32, 32, n_ch), jnp.float32), dev))
+
+    @jax.jit
+    def rfm_run(v, a, b, c):
+        return jnp.mean(rfm.apply(v, a, b, c, train=False)[1])
+    float(rfm_run(vs, *xs))
+    out["rfm256_fwd_pps"] = 16 / _timed(rfm_run, vs, *xs, iters=10)
+
+    # UNet++-b3 fast inference (stage 5-test path), batch 256 @224²
+    b3 = create_segmentation_model("UnetPlusPlus", "efficientnet-b3", 3,
+                                   dtype=jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vs = jax.jit(b3.init, backend="cpu")(
+            jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16))
+    vs = jax.device_put(vs, dev)
+    infer, prep = make_fast_infer(b3, vs)
+    prep = jax.device_put(prep, dev)
+
+    @jax.jit
+    def b3_run(v, p, xx):
+        return jnp.mean(infer(v, p, xx))
+    x = jax.device_put(jnp.asarray(rs.rand(256, SIZE, SIZE, 3), jnp.bfloat16), dev)
+    float(b3_run(vs, prep, x))
+    out["b3_fast_infer_pps"] = 256 / _timed(b3_run, vs, prep, x, iters=10)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline accounting (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+#
+# The north-star is "≥10× END-TO-END 224² patch throughput" vs the 1×3090
+# reference, which publishes no timings (BASELINE.md).  Model: compose this
+# chip's MEASURED per-stage rates over the reference's own budgets
+# (run.sh:15-35,52, configuration_wsss4luad.yml), and model the reference's
+# rates as arch_forward_FLOPs / (3090 fp32 peak × MFU), sweeping the MFU
+# assumption over 9–15% (the documented band for this conv stack on a 3090;
+# torch 1.12 ships TF32 off).  fwd+bwd is costed at 3× forward FLOPs.
+# Host-side work (mosaic synthesis, PNG IO) is excluded on BOTH sides.
+# Full derivation + FLOP provenance: PERF.md "End-to-end accounting".
+
+E2E_BUDGET = {
+    "n_train": 10_091,        # WSSS4LUAD 1.training patches (challenge split)
+    "mosaic_images": 20_000,  # create_dataset.ipynb cell 11
+    "s0_epochs": 20,          # OEEM/classification/train.py:19
+    "s2_epochs": 15,          # run.sh:16
+    "s4_epochs": 25,          # run.sh:21
+    "s5_epochs": 15,          # run.sh:35
+    # stage-0b sliding windows per training patch: 5 scales, stride 56,
+    # crop 224 on a representative 250² patch → 4+9+16+25+36
+    "cam_windows_per_patch": 90,
+    "tta": 8,                 # d4 TTA (infer_pseudo_masks.py:96)
+    "n_test_patches": 5_000,  # patches_224_112 over the test split (approx)
+}
+
+# forward GFLOPs per image (XLA cost_analysis of the reference-layout
+# architectures at the stage's input size; measured on-chip 2026-08,
+# bf16 batch-1 lowering — the b0 figure matches the r2-documented 8.48
+# within lowering noise).  The ResNet38d-family numbers are large because
+# the reference keeps 4096-channel dilated blocks at 28² (resnet38d.py).
+REF_FWD_GFLOPS = {
+    "unetpp_b0_224": 8.73,
+    "unetpp_b3_224": 12.19,
+    "wideresnet_224": 215.39,
+    "rfm_224": 203.75,
+    "rfm_256": 250.88,
+}
+REF_FP32_PEAK = 35.6e12      # RTX 3090 fp32 (TF32 off in torch 1.12)
+MFU_BAND = {"lo": 0.09, "mid": 0.12, "hi": 0.15}
+TRAIN_FLOP_MULT = 3.0        # fwd+bwd ≈ 3× forward FLOPs
+
+
+def compose_e2e(rates):
+    """rates: measured ours (images|patches)/sec per stage path.  Returns
+    pipeline seconds for ours + the modeled reference at each MFU."""
+    b = E2E_BUDGET
+    n = b["n_train"]
+    # (stage, our-rate key, images, ref GFLOPs/img, ref flop multiplier)
+    stages = [
+        ("s0_train", "s0_ips", b["s0_epochs"] * n,
+         REF_FWD_GFLOPS["wideresnet_224"], TRAIN_FLOP_MULT),
+        ("s0b_export", "wrn_cam_fwd_pps", b["cam_windows_per_patch"] * n,
+         REF_FWD_GFLOPS["wideresnet_224"], 1.0),
+        ("s2_train", "s2_ips", b["s2_epochs"] * b["mosaic_images"],
+         REF_FWD_GFLOPS["unetpp_b0_224"], TRAIN_FLOP_MULT),
+        ("s3_infer", "b0_tta_pps", b["tta"] * n,
+         REF_FWD_GFLOPS["unetpp_b0_224"], 1.0),
+        ("s4_train", "s4_ips", b["s4_epochs"] * n,
+         REF_FWD_GFLOPS["rfm_224"], TRAIN_FLOP_MULT),
+        ("s4b_infer", "rfm256_fwd_pps", n,
+         REF_FWD_GFLOPS["rfm_256"], 1.0),
+        ("s5_train", "s5_ips", b["s5_epochs"] * n,
+         REF_FWD_GFLOPS["unetpp_b3_224"], TRAIN_FLOP_MULT),
+        ("s5_test", "b3_tta_pps", b["tta"] * b["n_test_patches"],
+         REF_FWD_GFLOPS["unetpp_b3_224"], 1.0),
+    ]
+    ours_s, ref_s = {}, {k: {} for k in MFU_BAND}
+    for name, key, images, gflops, mult in stages:
+        if rates.get(key):
+            ours_s[name] = images / rates[key]
+        for band, mfu in MFU_BAND.items():
+            ref_s[band][name] = images * gflops * 1e9 * mult / (REF_FP32_PEAK * mfu)
+    out = {
+        "ours_hours": round(sum(ours_s.values()) / 3600.0, 3),
+        "ours_stage_s": {k: round(v, 1) for k, v in ours_s.items()},
+        "stages_measured": sorted(ours_s.keys()),
+    }
+    if len(ours_s) == len(stages):
+        total = sum(ours_s.values())
+        # speedup_lo = CONSERVATIVE bound (reference assumed at its most
+        # efficient, 15% MFU); speedup_hi assumes 9%
+        speedups = {band: sum(ref_s[band].values()) / total for band in MFU_BAND}
+        out["ref_hours_mid"] = round(sum(ref_s["mid"].values()) / 3600.0, 2)
+        out["e2e_speedup"] = round(speedups["mid"], 2)
+        out["e2e_speedup_lo"] = round(speedups["hi"], 2)   # ref MFU 15%
+        out["e2e_speedup_hi"] = round(speedups["lo"], 2)   # ref MFU 9%
+    return out
+
+
 def main():
     import contextlib
     import os
@@ -220,31 +463,66 @@ def main():
     with device_trace(profile_dir) if profile_dir else contextlib.nullcontext():
         infer = bench_infer()
     extras = {"infer_mfu": infer["mfu"], "infer_step_ms": infer["step_ms"]}
+    rates = {"b0_tta_pps": infer["patches_per_sec"] / E2E_BUDGET["tta"]}
     try:
         s2 = bench_stage2_train()
         extras["stage2_train_images_per_sec"] = round(s2["images_per_sec"], 1)
         extras["stage2_train_step_ms"] = round(s2["step_ms"], 1)
+        rates["s2_ips"] = s2["images_per_sec"]
     except Exception as e:  # keep the headline even if a train bench dies
         extras["stage2_train_error"] = repr(e)[:200]
     try:
         s4 = bench_stage4_train()
         extras["stage4_train_images_per_sec"] = round(s4["images_per_sec"], 1)
         extras["stage4_train_step_ms"] = round(s4["step_ms"], 1)
+        rates["s4_ips"] = s4["images_per_sec"]
     except Exception as e:
         extras["stage4_train_error"] = repr(e)[:200]
+    try:
+        s5 = bench_stage5_train()
+        extras["stage5_train_images_per_sec"] = round(s5["images_per_sec"], 1)
+        extras["stage5_train_step_ms"] = round(s5["step_ms"], 1)
+        rates["s5_ips"] = s5["images_per_sec"]
+    except Exception as e:
+        extras["stage5_train_error"] = repr(e)[:200]
+    try:
+        s0 = bench_stage0_train()
+        extras["stage0_train_images_per_sec"] = round(s0["images_per_sec"], 1)
+        rates["s0_ips"] = s0["images_per_sec"]
+    except Exception as e:
+        extras["stage0_train_error"] = repr(e)[:200]
+    try:
+        aux = bench_aux_forwards()
+        rates.update(aux)
+        rates["b3_tta_pps"] = aux["b3_fast_infer_pps"] / E2E_BUDGET["tta"]
+        extras.update({k: round(v, 1) for k, v in aux.items()})
+    except Exception as e:
+        extras["aux_forwards_error"] = repr(e)[:200]
+
+    # end-to-end pipeline composition + the 9–15% ref-MFU sensitivity band
+    extras["e2e"] = compose_e2e(rates)
 
     value = round(infer["patches_per_sec"], 1)
     extras["baseline_note"] = (
         f"vs_baseline divides by an ESTIMATED {BASELINE_PATCHES_PER_SEC:.0f} "
         "patches/s for the reference stack (no published number; see bench.py "
-        "docstring for the derivation)")
+        "docstring for the derivation).  vs_baseline_lo/hi span the 9-15% "
+        "3090-MFU assumption band; e2e composes measured per-stage rates "
+        "over the reference's own budgets (see PERF.md).")
+    # headline sensitivity: baseline patches/s = 35.6 TF * MFU / 8.48 GF
+    base_hi = REF_FP32_PEAK * MFU_BAND["hi"] / (REF_FWD_GFLOPS["unetpp_b0_224"] * 1e9)
+    base_lo = REF_FP32_PEAK * MFU_BAND["lo"] / (REF_FWD_GFLOPS["unetpp_b0_224"] * 1e9)
     print(json.dumps({
         "metric": "unetpp_b0_224_infer_throughput",
         "value": value,
         "unit": "patches/sec/chip",
         "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 2),
-        "extras": {k: (round(v, 4) if isinstance(v, float) else v)
-                   for k, v in extras.items() if v is not None},
+        "extras": dict(
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in extras.items() if v is not None},
+            vs_baseline_lo=round(value / base_hi, 2),
+            vs_baseline_hi=round(value / base_lo, 2),
+        ),
     }))
 
 
