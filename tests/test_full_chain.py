@@ -1,0 +1,219 @@
+"""Full-pipeline golden regression harness (VERDICT r3 item #1, SURVEY §7.2-9).
+
+ONE chain drives stage0 → 0b → 1 → 2 → 3 → 4 → 4b → 5 → 5-test on the tiny
+synthetic dataset, each stage consuming the previous stage's REAL outputs
+with completion manifests enforced end-to-end (no ``trust_inputs``
+anywhere).  The tests then assert:
+
+  (a) every inter-stage artifact contract (SURVEY Appendix B shapes and
+      encodings),
+  (b) lineage refusal when an upstream is mutated mid-chain (content
+      mutation via outputs_digest, crashed producer via missing manifest,
+      diverged producers via check_lineage),
+  (c) seed-pinned final metrics and bit-exact artifact digests against
+      recorded goldens, so silent numerical drift in ANY stage fails loudly.
+
+Goldens live in ``tests/goldens/full_chain_wsss4luad.json``; regenerate
+with ``PISTOSEG_UPDATE_GOLDENS=1 pytest tests/test_full_chain.py -m heavy``
+after an INTENTIONAL numerics change (the diff then documents the drift).
+Mirrors ``/root/reference/run.sh:42-64``.
+"""
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pistoseg_tpu.core.manifest import MANIFEST_NAME, StaleArtifactError
+from pistoseg_tpu.ops.palette import decode_palette_png
+
+from util_chain import golden_payload, run_full_chain
+
+pytestmark = pytest.mark.heavy
+
+GOLDEN = Path(__file__).parent / "goldens" / "full_chain_wsss4luad.json"
+
+
+@pytest.fixture(scope="module")
+def chain(tmp_path_factory):
+    return run_full_chain(tmp_path_factory.mktemp("chain"))
+
+
+# ---------------------------------------------------------------------------
+# (a) artifact contracts — SURVEY Appendix B
+# ---------------------------------------------------------------------------
+
+
+def test_chain_artifact_contracts(chain):
+    n_train = len(list(Path(chain["train"]).glob("*.png")))
+    assert n_train == 9
+
+    # stage 0 → 4: CAM/{name}.npy float [C, 32, 32] (prepare_seg_inputs.py:137)
+    cams = sorted(chain["cam_dir"].glob("*.npy"))
+    assert len(cams) == n_train == chain["r0b"]["cams"]
+    arr = np.load(cams[0])
+    assert arr.shape == (3, 32, 32) and arr.dtype == np.float32
+
+    # stage 1 → 2: mosaic img/mask PNG pairs at the profile's REAL grid
+    # (7 tiles × 32 px = 224², run.sh:5 / create_dataset.ipynb cell 13);
+    # stage 2 trains on RRC crops of them
+    imgs = sorted((chain["mosaic"] / "img").glob("*.png"))
+    masks = sorted((chain["mosaic"] / "mask").glob("*.png"))
+    assert len(imgs) == len(masks) == 8
+    m = decode_palette_png(masks[0])
+    assert m.shape == (224, 224) and set(np.unique(m)) <= {0, 1, 2, 3}
+
+    # stage 2 → 3: best/last checkpoints
+    assert (chain["s2_ckpt"] / "last").exists()
+    assert (chain["s2_ckpt"] / "best").exists()  # val wired → best gated
+
+    # stage 3 → 4: logits_32x32/{name}.npy [C, 32, 32] logits
+    # (infer_pseudo_masks.py:126; .npy replaces the torch .pt container)
+    logits = sorted((chain["pseudo"] / "logits_32x32").glob("*.npy"))
+    assert len(logits) == n_train == chain["r3"]["patches"]
+    arr = np.load(logits[0])
+    assert arr.shape == (3, 32, 32) and arr.dtype == np.float32
+    # stage 3 inspection masks: palette PNG at native patch size, bg=3
+    pmasks = sorted((chain["pseudo"] / "mask").glob("*.png"))
+    assert len(pmasks) == n_train
+    m = decode_palette_png(pmasks[0])
+    assert m.shape == (64, 64) and set(np.unique(m)) <= {0, 1, 2, 3}
+
+    # completion manifests exist at every producer root
+    for d in (chain["cam_dir"], chain["pseudo"], chain["refine"]):
+        assert (Path(d) / MANIFEST_NAME).exists(), d
+
+    # stage 4b → 5: refine/{pmask,pcam,cam}/{name}.png palette PNG native WH
+    # (infer_revise_masks.py:161-210)
+    for sub in ("pmask", "pcam", "cam"):
+        outs = sorted((chain["refine"] / sub).glob("*.png"))
+        assert len(outs) == n_train == chain["r4b"]["patches"]
+        m = decode_palette_png(outs[0])
+        assert m.shape == (64, 64) and set(np.unique(m)) <= {0, 1, 2, 3}
+
+    # stage 5 → eval: test/mask/{id}.png at slide-native WH with the
+    # known-background override (segmentation_test.py:120-121,212-215)
+    outs = sorted((chain["test_out"] / "mask").glob("*.png"))
+    assert len(outs) == 2
+    gt = decode_palette_png(Path(chain["big_test"]) / "mask" / "0.png")
+    pred = decode_palette_png(outs[0])
+    assert pred.shape == gt.shape == (96, 96)
+    np.testing.assert_array_equal(pred[gt == 3], 3)
+
+    # final metrics sane
+    for k in ("patch_miou", "patch_fwiou", "mask_miou"):
+        assert 0.0 <= chain["metrics"][k] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# (c) seed-pinned goldens
+# ---------------------------------------------------------------------------
+
+
+def test_chain_goldens(chain):
+    actual = golden_payload(chain)
+    if os.environ.get("PISTOSEG_UPDATE_GOLDENS") == "1":
+        GOLDEN.parent.mkdir(exist_ok=True)
+        GOLDEN.write_text(json.dumps(actual, indent=2, sort_keys=True))
+        pytest.skip(f"goldens rewritten at {GOLDEN}")
+    assert GOLDEN.exists(), (
+        "golden file missing — record it once with PISTOSEG_UPDATE_GOLDENS=1"
+    )
+    want = json.loads(GOLDEN.read_text())
+
+    assert actual["counts"] == want["counts"]
+    for k, v in want["metrics"].items():
+        assert actual["metrics"][k] == pytest.approx(v, abs=1e-6), k
+    drift = [k for k in want["digests"]
+             if actual["digests"].get(k) != want["digests"][k]]
+    missing = sorted(set(want["digests"]) - set(actual["digests"]))
+    extra = sorted(set(actual["digests"]) - set(want["digests"]))
+    assert not (drift or missing or extra), (
+        f"artifact drift: changed={drift[:10]} missing={missing[:5]} "
+        f"extra={extra[:5]}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# (b) lineage refusal when an upstream is mutated mid-chain
+# ---------------------------------------------------------------------------
+
+
+def test_chain_refuses_mutated_upstream(chain, tmp_path):
+    """Content mutation AFTER stage 3 completed: stage 4 must refuse
+    (outputs_digest mismatch), not silently train on the tampered logits."""
+    from pistoseg_tpu.stages.stage4_revise import train_stage4
+
+    pseudo = tmp_path / "pseudo"
+    shutil.copytree(chain["pseudo"], pseudo)
+    victim = sorted((pseudo / "logits_32x32").glob("*.npy"))[0]
+    arr = np.load(victim)
+    np.save(victim, arr + 1.0)
+
+    with pytest.raises(StaleArtifactError, match="modified after"):
+        train_stage4(chain["cfg"], str(chain["train"]),
+                     str(pseudo / "logits_32x32"), str(chain["cam_dir"]),
+                     log_dir=str(tmp_path / "s4"), max_steps_per_epoch=1)
+
+
+def test_chain_refuses_uncommitted_producer(chain, tmp_path):
+    """Crashed producer: refine outputs without the completion manifest
+    (written only after stage 4b finishes) are refused by stage 5."""
+    from pistoseg_tpu.stages.stage5_train import train_stage5
+
+    refine = tmp_path / "refine"
+    shutil.copytree(chain["refine"], refine)
+    (refine / MANIFEST_NAME).unlink()
+
+    with pytest.raises(StaleArtifactError, match="did not complete"):
+        train_stage5(chain["cfg"], str(chain["train"]), str(refine / "cam"),
+                     log_dir=str(tmp_path / "s5"), max_steps_per_epoch=1)
+
+
+def test_chain_refuses_diverged_lineage(chain, tmp_path):
+    """Mid-chain training-set mutation: CAMs re-exported from a CHANGED
+    training set while the stage-3 pmasks still derive from the original —
+    check_lineage must refuse the pair (VERDICT r2 weak #7)."""
+    from PIL import Image
+
+    from pistoseg_tpu.stages.stage0_export_cam import export_cams
+    from pistoseg_tpu.stages.stage4_revise import train_stage4
+
+    train2 = tmp_path / "train2"
+    shutil.copytree(chain["train"], train2)
+    rng = np.random.RandomState(9)
+    Image.fromarray(rng.randint(0, 200, (64, 64, 3)).astype(np.uint8)).save(
+        train2 / "p99-[0, 0, 1].png")
+
+    cam2 = tmp_path / "cam2"
+    r = export_cams(chain["cfg"], str(train2),
+                    chain["r0"]["checkpoint_dir"], str(cam2))
+    assert r["cams"] == 10
+
+    with pytest.raises(StaleArtifactError, match="disagree on input"):
+        train_stage4(chain["cfg"], str(chain["train"]),
+                     str(chain["pseudo"] / "logits_32x32"), str(cam2),
+                     log_dir=str(tmp_path / "s4"), max_steps_per_epoch=1)
+
+
+def test_chain_producers_skip_if_current(chain):
+    """Producer idempotence across the REAL chain: re-running an emission
+    stage with identical inputs+config skips instead of recomputing."""
+    from pistoseg_tpu.stages.stage0_export_cam import export_cams
+    from pistoseg_tpu.stages.stage3_infer_pmask import infer_stage3
+    from pistoseg_tpu.stages.stage4b_infer_revise import infer_stage4b
+
+    r = export_cams(chain["cfg"], str(chain["train"]),
+                    chain["r0"]["checkpoint_dir"], str(chain["cam_dir"]))
+    assert r.get("skipped") is True
+    r = infer_stage3(chain["cfg"], str(chain["train"]), str(chain["s2_ckpt"]),
+                     str(chain["pseudo"]))
+    assert r.get("skipped") is True
+    r = infer_stage4b(chain["cfg"], str(chain["train"]),
+                      str(chain["pseudo"] / "logits_32x32"),
+                      str(chain["cam_dir"]), chain["r4"]["checkpoint_dir"],
+                      out_dir=str(chain["refine"]))
+    assert r.get("skipped") is True
