@@ -14,9 +14,15 @@ import tempfile
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT / "tests"))
+sys.path.insert(0, str(_ROOT))
 
 import jax  # noqa: E402
+
+from pistoseg_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 from util_chain import golden_payload, run_full_chain  # noqa: E402
 
