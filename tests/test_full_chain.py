@@ -199,6 +199,51 @@ def test_chain_refuses_diverged_lineage(chain, tmp_path):
                      log_dir=str(tmp_path / "s4"), max_steps_per_epoch=1)
 
 
+def test_bcss_chain_contracts_and_goldens(tmp_path_factory):
+    """The SAME manifest-enforced chain on BCSS: digit-grammar labels,
+    4 classes, no background channel, and stage-5-test's per-patch branch
+    (no stitching — segmentation_test.py's BCSS path).  Contracts +
+    seed-pinned goldens in one test (the refusal mechanics are dataset-
+    independent and covered by the WSSS4LUAD tests above)."""
+    chain = run_full_chain(tmp_path_factory.mktemp("chain_bcss"),
+                           dataset="bcss")
+    n_train = len(list(Path(chain["train"]).glob("*.png")))
+    assert n_train == 12                      # 4 classes × 3
+
+    # 4-class artifacts throughout
+    arr = np.load(sorted(chain["cam_dir"].glob("*.npy"))[0])
+    assert arr.shape == (4, 32, 32)
+    arr = np.load(sorted((chain["pseudo"] / "logits_32x32").glob("*.npy"))[0])
+    assert arr.shape == (4, 32, 32)
+    # digit grammar preserved end-to-end (stage-4b names match inputs)
+    names = sorted(p.name for p in (chain["refine"] / "cam").glob("*.png"))
+    assert len(names) == n_train and all("[" not in n or "]" in n for n in names)
+    m = decode_palette_png(chain["refine"] / "cam" / names[0])
+    assert m.shape == (64, 64) and set(np.unique(m)) <= {0, 1, 2, 3, 4}
+
+    # BCSS branch: per-patch metrics, NO stitched mask metric
+    assert "patch_miou" in chain["metrics"]
+    assert "mask_miou" not in chain["metrics"]
+    outs = sorted((chain["test_out"] / "mask").glob("*.png"))
+    assert len(outs) > 0
+
+    golden_path = GOLDEN.parent / "full_chain_bcss.json"
+    actual = golden_payload(chain)
+    if os.environ.get("PISTOSEG_UPDATE_GOLDENS") == "1":
+        golden_path.parent.mkdir(exist_ok=True)
+        golden_path.write_text(json.dumps(actual, indent=2, sort_keys=True))
+        pytest.skip(f"goldens rewritten at {golden_path}")
+    assert golden_path.exists(), (
+        "golden file missing — record once with PISTOSEG_UPDATE_GOLDENS=1")
+    want = json.loads(golden_path.read_text())
+    assert actual["counts"] == want["counts"]
+    for k, v in want["metrics"].items():
+        assert actual["metrics"][k] == pytest.approx(v, abs=1e-6), k
+    drift = [k for k in want["digests"]
+             if actual["digests"].get(k) != want["digests"][k]]
+    assert not drift and set(actual["digests"]) == set(want["digests"]), drift[:10]
+
+
 def test_chain_producers_skip_if_current(chain):
     """Producer idempotence across the REAL chain: re-running an emission
     stage with identical inputs+config skips instead of recomputing."""

@@ -24,10 +24,11 @@ from pistoseg_tpu.core.config import Config
 from util_synthetic import make_big_eval_set, make_training_patches
 
 
-def chain_cfg(mesh_shape=(1,)) -> Config:
+def chain_cfg(mesh_shape=(1,), dataset: str = "wsss4luad") -> Config:
     """Tiny-shape config used by every stage of the chain (one config tree
     end-to-end, like the reference's single run.sh environment)."""
     cfg = Config()
+    cfg.dataset = dataset
     cfg.mesh.shape = tuple(mesh_shape)
     # stage 0: classifier (crop 32 over 64-pixel patches)
     cfg.cam.batch_size = 4
@@ -51,13 +52,19 @@ def chain_cfg(mesh_shape=(1,)) -> Config:
     cfg.seg.batch_size = 4
     cfg.seg.epochs = 1
     cfg.seg.tta = False
+    if dataset == "bcss":
+        # tiny-variant: b0 keeps the BCSS chain's compile cost down; the
+        # BCSS-specific surfaces under test are the digit grammar, the
+        # no-background path and the per-patch stage-5-test branch
+        cfg.seg.encoder = "efficientnet-b0"
     # all inference stages
     cfg.infer.batch_size = 4
     cfg.infer.tta = False
     return cfg
 
 
-def run_full_chain(root: str | Path, mesh_shape=(1,), steps: int = 2) -> dict:
+def run_full_chain(root: str | Path, mesh_shape=(1,), steps: int = 2,
+                   dataset: str = "wsss4luad") -> dict:
     """Run stage0 → 0b → 1 → 2 → 3 → 4 → 4b → 5 → 5-test; return every
     stage's result dict plus the artifact paths for contract checks."""
     from pistoseg_tpu.stages.stage0_cam import train_stage0
@@ -71,15 +78,15 @@ def run_full_chain(root: str | Path, mesh_shape=(1,), steps: int = 2) -> dict:
     from pistoseg_tpu.stages.stage5_test import test_stage5
     from pistoseg_tpu.stages.stage5_train import train_stage5
 
-    cfg = chain_cfg(mesh_shape)
+    cfg = chain_cfg(mesh_shape, dataset)
     root = Path(root)
 
     # --- synthetic dataset (the chain's only hand-made inputs) -------------
     train = root / "train"
-    make_training_patches(train, "wsss4luad", n_per_class=3, size=64)
-    big_val = make_big_eval_set(root / "valid", "wsss4luad", n_images=2,
+    make_training_patches(train, dataset, n_per_class=3, size=64)
+    big_val = make_big_eval_set(root / "valid", dataset, n_images=2,
                                 size=96, seed=1)
-    big_test = make_big_eval_set(root / "test", "wsss4luad", n_images=2,
+    big_test = make_big_eval_set(root / "test", dataset, n_images=2,
                                  size=96, seed=3)
 
     # --- stage 0: OEEM classifier (run.sh:44 → OEEM train.py) --------------
@@ -165,13 +172,15 @@ def golden_payload(chain: dict) -> dict:
     """The seed-pinned values the regression test locks (metrics to 1e-6,
     artifacts bit-exact)."""
     m = chain["metrics"]
+    metrics = {
+        "stage2_best_mask_miou": float(chain["r2"]["best_metric"]),
+        "stage5_patch_miou": float(m["patch_miou"]),
+        "stage5_patch_fwiou": float(m["patch_fwiou"]),
+    }
+    if "mask_miou" in m:   # BCSS's per-patch branch has no stitched mask
+        metrics["stage5_mask_miou"] = float(m["mask_miou"])
     return {
-        "metrics": {
-            "stage2_best_mask_miou": float(chain["r2"]["best_metric"]),
-            "stage5_patch_miou": float(m["patch_miou"]),
-            "stage5_patch_fwiou": float(m["patch_fwiou"]),
-            "stage5_mask_miou": float(m["mask_miou"]),
-        },
+        "metrics": metrics,
         "counts": {
             "stage0b_cams": chain["r0b"]["cams"],
             "stage3_patches": chain["r3"]["patches"],
