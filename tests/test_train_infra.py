@@ -303,3 +303,50 @@ def test_validation_runner_cached_across_epochs():
     r1({}, {}, x)
     assert r1._cache_size() == n == 1
     common._RUNNER_CACHE.clear()
+
+
+def test_stage2_loss_fn_s2d_train_flag_wiring():
+    """The s2d_train flag routes build_loss_fn through
+    unetpp_fast.fast_train_apply (VERDICT r4 #3's validated-but-off lever):
+    same fixed batch, same rng — loss must agree with the flax path to f32
+    reduction-order tolerance, and the returned batch_stats trees must
+    match structurally AND numerically."""
+    from pistoseg_tpu.core.config import Config
+    from pistoseg_tpu.models.factory import create_segmentation_model
+    from pistoseg_tpu.ops.augment import AugmentConfig
+    from pistoseg_tpu.stages.stage2_mosaic import build_loss_fn
+
+    cfg = Config()
+    sc = cfg.mosaic
+    sc.precision = "fp32"          # deterministic warp + exact-identity claim
+    size, batch = 32, 4
+    model = create_segmentation_model("unetplusplus", "efficientnet-b0",
+                                      cfg.profile.num_classes)
+    tx = adamw_exponential(1e-3, 0.05, 0.9, 10)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((batch, size, size, 3)), tx)
+    aug = AugmentConfig(out_size=size, rrc_scale=(0.9, 1.0))
+    rs = np.random.RandomState(5)
+    b = {
+        "image": jnp.asarray(rs.rand(batch, size, size, 3), jnp.float32),
+        "mask": jnp.asarray(rs.randint(0, 4, (batch, size, size)), jnp.int32),
+        "valid": jnp.ones((batch,), bool),
+    }
+    rng = jax.random.PRNGKey(11)
+
+    outs = {}
+    for flag in (False, True):
+        sc.s2d_train = flag
+        loss_fn = build_loss_fn(model, cfg.profile, sc, aug)
+        loss, (_, new_bs) = loss_fn(state.params, state.batch_stats, b, rng)
+        outs[flag] = (float(loss), new_bs)
+
+    l_ref, bs_ref = outs[False]
+    l_s2d, bs_s2d = outs[True]
+    assert l_s2d == pytest.approx(l_ref, abs=1e-5)
+    assert (jax.tree_util.tree_structure(bs_ref)
+            == jax.tree_util.tree_structure(bs_s2d))
+    for a, c in zip(jax.tree_util.tree_leaves(bs_ref),
+                    jax.tree_util.tree_leaves(bs_s2d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
