@@ -25,6 +25,7 @@ estimate explicit (VERDICT r2 weak #1).
 
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +159,10 @@ def bench_stage2_train():
         state, m = run(state)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch}
+    return {"images_per_sec": batch / dt, "step_ms": 1000.0 * dt, "batch": batch,
+            # (jitted step, live donated state, rng) for the loader leg's
+            # overlapped measurement — avoids rebuilding the model there
+            "setup": (step, state, rng)}
 
 
 def bench_stage4_train():
@@ -357,6 +361,95 @@ def bench_aux_forwards():
     return out
 
 
+def bench_loader(s2_setup=None):
+    """Input-pipeline leg (VERDICT r4 #5): sustained host loader rates for
+    the raw-PNG path and the native shard-cache path, isolated AND
+    overlapped with the stage-2 train step, over a synthetic 224² mosaic
+    set.  Bounds the host headroom over the device step rate (SURVEY
+    §7.3-7 named the input pipeline as the known ≥10× risk)."""
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from pistoseg_tpu.data.datasets import MosaicDataset
+    from pistoseg_tpu.data.loader import BatchLoader, ShardBatchLoader
+    from pistoseg_tpu.data.shardio import ShardPairDataset, build_image_mask_cache
+    from pistoseg_tpu.ops.palette import encode_palette_png
+
+    n, batch = 1024, 64
+    palette = (0, 64, 128, 64, 128, 0, 243, 152, 0, 255, 255, 255)
+    tmp = Path(tempfile.mkdtemp(prefix="pistoseg_loaderbench_"))
+    out = {}
+    try:
+        rs = np.random.RandomState(0)
+        (tmp / "img").mkdir(parents=True)
+        (tmp / "mask").mkdir()
+        # blocky content: realistic PNG entropy (pure noise decodes slower
+        # than histology; flat color faster — 8px blocks sit in between)
+        base = np.kron(rs.randint(0, 255, (SIZE // 8, SIZE // 8, 3)),
+                       np.ones((8, 8, 1))).astype(np.uint8)
+        base_m = np.kron(rs.randint(0, 4, (SIZE // 8, SIZE // 8)),
+                         np.ones((8, 8))).astype(np.uint8)
+        for i in range(n):
+            Image.fromarray(np.roll(base, 8 * i, axis=0)).save(
+                tmp / "img" / f"{i:05d}.png")
+            encode_palette_png(np.roll(base_m, 8 * i, axis=0), palette,
+                               tmp / "mask" / f"{i:05d}.png")
+
+        ds = MosaicDataset(tmp)
+
+        def _epoch_rate(loader):
+            t0 = time.perf_counter()
+            cnt = 0
+            for b in loader.epoch(0):
+                cnt += int(np.sum(b["valid"]))
+            return cnt / (time.perf_counter() - t0)
+
+        raw = BatchLoader(ds, batch, shuffle=True, seed=0)
+        out["loader_raw_png_ips"] = _epoch_rate(raw)
+
+        t0 = time.perf_counter()
+        build_image_mask_cache(ds, tmp / "cache" / "mosaic")
+        out["loader_cache_build_s"] = time.perf_counter() - t0
+        shard_ds = ShardPairDataset(tmp / "cache" / "mosaic")
+        shard = ShardBatchLoader(shard_ds, batch, shuffle=True, seed=0)
+        out["loader_shard_ips"] = _epoch_rate(shard)
+
+        # overlapped with the production stage-2 step: the loader feeds a
+        # real donated train step; images/s here is the SUSTAINED pipeline
+        # rate (host decode/gather + device step, pipelined dispatch)
+        if s2_setup is not None:
+            step, state, rng = s2_setup
+            dev = jax.devices()[0]
+
+            def _overlapped(loader, state):
+                # feed exactly what the Trainer feeds: raw uint8 batches,
+                # device-put per step (augment/normalize run on device)
+                m = None
+                t0 = time.perf_counter()
+                cnt = 0
+                for b in loader.epoch(1):
+                    bd = {
+                        "image": jax.device_put(b["image"], dev),
+                        "mask": jax.device_put(b["mask"], dev),
+                        "valid": jax.device_put(np.asarray(b["valid"]), dev),
+                    }
+                    state, m = step(state, bd, rng)
+                    cnt += batch
+                float(m["loss"])
+                return cnt / (time.perf_counter() - t0), state
+
+            # warm epoch compiles/camps, second epoch is the measurement
+            _, state = _overlapped(shard, state)
+            out["loader_shard_overlapped_ips"], state = _overlapped(shard, state)
+            out["loader_raw_overlapped_ips"], state = _overlapped(raw, state)
+        shard_ds.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # End-to-end pipeline accounting (VERDICT r3 #2)
 # ---------------------------------------------------------------------------
@@ -404,7 +497,12 @@ TRAIN_FLOP_MULT = 3.0        # fwd+bwd ≈ 3× forward FLOPs
 
 def compose_e2e(rates):
     """rates: measured ours (images|patches)/sec per stage path.  Returns
-    pipeline seconds for ours + the modeled reference at each MFU."""
+    pipeline seconds for ours + the modeled reference at each MFU.
+
+    The reference side is a MODEL, not a measurement (the reference
+    publishes no timings): the returned dict carries its own provenance
+    (``ref_model``) so BENCH_*.json consumers cannot drop the caveat
+    (ADVICE r4)."""
     b = E2E_BUDGET
     n = b["n_train"]
     # (stage, our-rate key, images, ref GFLOPs/img, ref flop multiplier)
@@ -436,6 +534,14 @@ def compose_e2e(rates):
         "ours_hours": round(sum(ours_s.values()) / 3600.0, 3),
         "ours_stage_s": {k: round(v, 1) for k, v in ours_s.items()},
         "stages_measured": sorted(ours_s.keys()),
+        # provenance for every ratio below: the reference is an analytic
+        # MFU model (fixed 3090 fp32 peak, 9-15% MFU sweep, fwd+bwd = 3x
+        # forward FLOPs), NOT a measured baseline
+        "ref_model": "analytic-mfu-9-15pct: 35.6TF fp32 peak x MFU, "
+                     "fwd+bwd=3x fwd FLOPs; modeled, not measured",
+        "ours_model": "measured per-stage device rates composed over the "
+                      "reference budgets; host IO excluded on both sides "
+                      "(see extras.full_budget_run for the measured wall)",
     }
     if len(ours_s) == len(stages):
         total = sum(ours_s.values())
@@ -464,11 +570,13 @@ def main():
         infer = bench_infer()
     extras = {"infer_mfu": infer["mfu"], "infer_step_ms": infer["step_ms"]}
     rates = {"b0_tta_pps": infer["patches_per_sec"] / E2E_BUDGET["tta"]}
+    s2_setup = None
     try:
         s2 = bench_stage2_train()
         extras["stage2_train_images_per_sec"] = round(s2["images_per_sec"], 1)
         extras["stage2_train_step_ms"] = round(s2["step_ms"], 1)
         rates["s2_ips"] = s2["images_per_sec"]
+        s2_setup = s2.get("setup")
     except Exception as e:  # keep the headline even if a train bench dies
         extras["stage2_train_error"] = repr(e)[:200]
     try:
@@ -499,31 +607,77 @@ def main():
     except Exception as e:
         extras["aux_forwards_error"] = repr(e)[:200]
 
-    # end-to-end pipeline composition + the 9–15% ref-MFU sensitivity band
-    extras["e2e"] = compose_e2e(rates)
+    try:
+        loader = bench_loader(s2_setup)
+        extras.update({k: round(v, 1) for k, v in loader.items()})
+    except Exception as e:
+        extras["loader_error"] = repr(e)[:200]
 
-    value = round(infer["patches_per_sec"], 1)
-    extras["baseline_note"] = (
-        f"vs_baseline divides by an ESTIMATED {BASELINE_PATCHES_PER_SEC:.0f} "
-        "patches/s for the reference stack (no published number; see bench.py "
-        "docstring for the derivation).  vs_baseline_lo/hi span the 9-15% "
-        "3090-MFU assumption band; e2e composes measured per-stage rates "
-        "over the reference's own budgets (see PERF.md).")
-    # headline sensitivity: baseline patches/s = 35.6 TF * MFU / 8.48 GF
+    # end-to-end pipeline composition + the 9–15% ref-MFU sensitivity band
+    e2e = extras["e2e"] = compose_e2e(rates)
+
+    # the measured full-budget pipeline run (scripts/run_full_budget.py
+    # writes this after executing the whole pipeline at the reference's
+    # epoch/image budgets on the chip) — the measurement that validates
+    # the composed model above
+    fb_path = Path(__file__).resolve().parent / "perf" / "full_budget_wsss4luad.json"
+    if fb_path.exists():
+        try:
+            fb = json.loads(fb_path.read_text())
+            extras["full_budget_run"] = fb.get("summary", fb)
+        except Exception as e:
+            extras["full_budget_error"] = repr(e)[:200]
+
+    infer_pps = round(infer["patches_per_sec"], 1)
+    # infer-only sensitivity: baseline patches/s = 35.6 TF * MFU / 8.73 GF
     base_hi = REF_FP32_PEAK * MFU_BAND["hi"] / (REF_FWD_GFLOPS["unetpp_b0_224"] * 1e9)
     base_lo = REF_FP32_PEAK * MFU_BAND["lo"] / (REF_FWD_GFLOPS["unetpp_b0_224"] * 1e9)
-    print(json.dumps({
-        "metric": "unetpp_b0_224_infer_throughput",
-        "value": value,
-        "unit": "patches/sec/chip",
-        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 2),
-        "extras": dict(
-            {k: (round(v, 4) if isinstance(v, float) else v)
-             for k, v in extras.items() if v is not None},
-            vs_baseline_lo=round(value / base_hi, 2),
-            vs_baseline_hi=round(value / base_lo, 2),
-        ),
-    }))
+    extras.update({
+        "unetpp_b0_224_infer_pps": infer_pps,
+        "infer_vs_baseline": round(infer_pps / BASELINE_PATCHES_PER_SEC, 2),
+        "infer_vs_baseline_lo": round(infer_pps / base_hi, 2),
+        "infer_vs_baseline_hi": round(infer_pps / base_lo, 2),
+    })
+    extras["baseline_note"] = (
+        "HEADLINE = end-to-end WSSS4LUAD pipeline speedup (BASELINE.md's own "
+        "phrasing): measured per-stage chip rates composed over the "
+        "reference's budgets vs an analytic 3090 model swept over 9-15% MFU "
+        "(vs_baseline_lo = reference at its most charitable 15% MFU).  The "
+        "reference publishes no timings, so the denominator is modeled, not "
+        "measured — provenance in extras.e2e.ref_model; full derivation in "
+        "PERF.md.  The single-model infer-only claim (weaker: does not "
+        "survive 15% ref-MFU) is in extras.infer_vs_baseline*.")
+
+    if "e2e_speedup" in e2e:
+        # the defensible claim leads (VERDICT r4 #6): end-to-end speedup,
+        # with the sensitivity band as vs_baseline_lo/hi
+        headline = {
+            "metric": "wsss4luad_pipeline_e2e_speedup",
+            "value": e2e["e2e_speedup"],
+            "unit": "x vs modeled 1xRTX3090 reference (ours: "
+                    f"{e2e['ours_hours']} h/chip)",
+            "vs_baseline": e2e["e2e_speedup"],
+            "extras": dict(
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in extras.items() if v is not None},
+                vs_baseline_lo=e2e["e2e_speedup_lo"],
+                vs_baseline_hi=e2e["e2e_speedup_hi"],
+            ),
+        }
+    else:  # a train bench died: fall back to the infer-only headline
+        headline = {
+            "metric": "unetpp_b0_224_infer_throughput",
+            "value": infer_pps,
+            "unit": "patches/sec/chip",
+            "vs_baseline": round(infer_pps / BASELINE_PATCHES_PER_SEC, 2),
+            "extras": dict(
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in extras.items() if v is not None},
+                vs_baseline_lo=round(infer_pps / base_hi, 2),
+                vs_baseline_hi=round(infer_pps / base_lo, 2),
+            ),
+        }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

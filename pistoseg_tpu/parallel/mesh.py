@@ -59,6 +59,25 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def mesh_batch_loader(dataset, batch_size: int, mesh: Mesh, **kwargs):
+    """:class:`~pistoseg_tpu.data.loader.BatchLoader` whose EVERY batch
+    divides the mesh: batch size padded to a multiple of ``mesh.size`` and
+    tail padding forced on.  The mesh-sharded inference stages previously
+    relied implicitly on the loader's ``pad_last=True`` default (ADVICE
+    r4) — a caller passing ``drop_last=True``/``pad_last=False`` would hit
+    an opaque XLA sharding error on the tail batch instead of this check.
+    """
+    from pistoseg_tpu.data.loader import BatchLoader
+
+    if kwargs.get("drop_last") or kwargs.get("pad_last") is False:
+        raise ValueError(
+            "mesh-sharded loaders require pad_last=True and drop_last=False: "
+            "every batch (including the tail) must divide mesh.size")
+    kwargs["pad_last"] = True
+    kwargs["drop_last"] = False
+    return BatchLoader(dataset, pad_to_multiple(batch_size, mesh.size), **kwargs)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch (pytree of arrays) sharded on dim 0.
 

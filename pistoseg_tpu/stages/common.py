@@ -92,6 +92,14 @@ def make_infer_forward(model, variables):
     inside jit, threading ``prep`` as an ARGUMENT so the prepared kernels
     are not baked into the executable as constants (per-checkpoint
     re-preparation then needs no re-compile).
+
+    INVARIANT (ADVICE r4): the returned ``fwd`` closure must depend ONLY
+    on the model's static config — everything checkpoint-dependent goes
+    through the ``variables``/``prep`` arguments.  ``_RUNNER_CACHE`` below
+    keys its jitted validation runners on (model, tta) and reuses the
+    FIRST call's ``fwd`` for every later checkpoint of the same
+    architecture; an ``fwd`` that conditioned on the checkpoint (e.g. a
+    variables-dependent prep layout) would silently serve a stale closure.
     """
     from pistoseg_tpu.models.unetpp import UnetPlusPlus
 

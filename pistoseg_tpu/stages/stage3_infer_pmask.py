@@ -31,13 +31,12 @@ import numpy as np
 from pistoseg_tpu.core.checkpoint import CheckpointManager
 from pistoseg_tpu.core.config import Config
 from pistoseg_tpu.data.datasets import PatchInferenceDataset
-from pistoseg_tpu.data.loader import BatchLoader
 from pistoseg_tpu.models.factory import create_segmentation_model
 from pistoseg_tpu.ops.augment import imagenet_normalize
 from pistoseg_tpu.ops.palette import encode_palette_png
 from pistoseg_tpu.ops.resize import resize, resize_palette_pil
 from pistoseg_tpu.ops.tta import d4_forward
-from pistoseg_tpu.parallel.mesh import batch_sharding, pad_to_multiple, replicated
+from pistoseg_tpu.parallel.mesh import batch_sharding, mesh_batch_loader, replicated
 from pistoseg_tpu.stages.common import parse_cli
 
 
@@ -129,8 +128,9 @@ def infer_stage3(
     ds = PatchInferenceDataset(train_data, profile, sc.patch_size)
     if limit is not None:
         ds.paths = ds.paths[:limit]
-    # every batch (loader pads the tail) must divide over the mesh
-    loader = BatchLoader(ds, pad_to_multiple(cfg.infer.batch_size, mesh.size))
+    # every batch (incl. the padded tail) must divide over the mesh —
+    # mesh_batch_loader forces pad_last and the batch-size multiple
+    loader = mesh_batch_loader(ds, cfg.infer.batch_size, mesh)
 
     (out / "logits_32x32").mkdir(parents=True, exist_ok=True)
     (out / "mask").mkdir(parents=True, exist_ok=True)

@@ -22,7 +22,6 @@ import numpy as np
 from pistoseg_tpu.core.checkpoint import CheckpointManager
 from pistoseg_tpu.core.config import Config
 from pistoseg_tpu.data.datasets import RefineDataset
-from pistoseg_tpu.data.loader import BatchLoader
 from pistoseg_tpu.models.rfm import ReviseNet
 from pistoseg_tpu.ops.augment import imagenet_normalize
 from pistoseg_tpu.ops.background import extract_background
@@ -94,7 +93,7 @@ def infer_stage4b(
     # data-parallel over the mesh (reference DataParallels this stage,
     # infer_revise_masks.py:110): params replicated, batch sharded
     from pistoseg_tpu.parallel.mesh import (
-        batch_sharding, pad_to_multiple, replicated)
+        batch_sharding, mesh_batch_loader, replicated)
     from pistoseg_tpu.stages.common import stage_mesh
 
     mesh = stage_mesh(cfg)
@@ -107,7 +106,7 @@ def infer_stage4b(
     ds = RefineDataset(train_data, pmask_dir, cam_dir, profile, rc.infer_size)
     if limit is not None:
         ds.paths = ds.paths[:limit]
-    loader = BatchLoader(ds, pad_to_multiple(cfg.infer.batch_size, mesh.size))
+    loader = mesh_batch_loader(ds, cfg.infer.batch_size, mesh)
 
     for sub in ("pmask", "pcam", "cam"):
         (out / sub).mkdir(parents=True, exist_ok=True)

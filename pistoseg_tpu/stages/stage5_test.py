@@ -23,7 +23,6 @@ from pistoseg_tpu.core.config import Config
 from pistoseg_tpu.core.logging import MetricsLogger, console_metric_block
 from pistoseg_tpu.data.datasets import EvalPatchDataset
 from pistoseg_tpu.data.labels import parse_patch_name
-from pistoseg_tpu.data.loader import BatchLoader
 from pistoseg_tpu.metrics.miou import MIoUAccumulator
 from pistoseg_tpu.models.factory import create_segmentation_model
 from pistoseg_tpu.ops.augment import imagenet_normalize
@@ -74,7 +73,7 @@ def test_stage5(
     # batch sharded; artifacts are device-count-invariant (locked by
     # tests/test_multidevice_infer.py)
     from pistoseg_tpu.parallel.mesh import (
-        batch_sharding, pad_to_multiple, replicated)
+        batch_sharding, mesh_batch_loader, replicated)
     from pistoseg_tpu.stages.common import stage_mesh
 
     mesh = stage_mesh(cfg)
@@ -94,8 +93,8 @@ def test_stage5(
     big_root = big_root or str(Path(test_data).parent)
     natives = native_size_map(big_root)
 
-    loader = BatchLoader(EvalPatchDataset(test_data, sc.patch_size),
-                         pad_to_multiple(cfg.infer.batch_size, mesh.size))
+    loader = mesh_batch_loader(EvalPatchDataset(test_data, sc.patch_size),
+                               cfg.infer.batch_size, mesh)
     patch_acc = MIoUAccumulator(num_classes)
     stitcher = CanvasStitcher(num_classes)
     bcss_outputs = []
