@@ -118,18 +118,28 @@ class MosaicSynthesizer:
         self.all_single = [p for s in self.class_sets for p in s]
         if not self.all_single:
             raise FileNotFoundError(f"no single-label patches under {train_dir}")
+        # decoded-tile memo: every mosaic re-reads ~4·patch_num² random
+        # tiles, so an uncached run PNG-decodes each training patch
+        # hundreds of times (measured ~1.5 s/mosaic at the production 7×7
+        # grid — 8h+ for the 20k budget).  The whole WSSS4LUAD train split
+        # decodes to ~2.5 GB; cache it once per worker process.
+        self._tile_cache: dict = {}
 
     @property
     def image_size(self) -> int:
         return self.patch_num * self.tile_size
 
     def _load_tile(self, path: Path) -> Tuple[np.ndarray, np.ndarray]:
+        cached = self._tile_cache.get(path)
+        if cached is not None:
+            return cached
         img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
         cls = parse_label(path, self.profile.label_grammar).index(1)
         mask = np.full(img.shape[:2], cls, np.uint8)
         if self.background_dir is not None:
             bg = np.asarray(Image.open(self.background_dir / path.name), np.uint8)
             mask[bg > 0] = self.profile.bg_class
+        self._tile_cache[path] = (img, mask)
         return img, mask
 
     def _grid_image(self, rng) -> Tuple[np.ndarray, np.ndarray]:

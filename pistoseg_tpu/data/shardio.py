@@ -168,6 +168,52 @@ def build_image_mask_cache(dataset, out_prefix: str | Path,
             wm.write(i, item[keys[1]])
 
 
+def build_image_label_cache(dataset, out_prefix: str | Path,
+                            image_key: str = "image",
+                            label_key: str = "label") -> None:
+    """Pre-decode an image+label-vector dataset (stage 0: uint8 patches +
+    filename multilabels) into one uint8 shard + a ``.labels.npy``."""
+    out_prefix = Path(out_prefix)
+    out_prefix.parent.mkdir(parents=True, exist_ok=True)
+    first = dataset[0]
+    n = len(dataset)
+    labels = np.zeros((n,) + np.asarray(first[label_key]).shape, np.float32)
+    with ShardWriter(f"{out_prefix}.{image_key}.shard", n,
+                     first[image_key].shape) as wi:
+        for i in range(n):
+            item = dataset[i]
+            wi.write(i, item[image_key])
+            labels[i] = item[label_key]
+    np.save(f"{out_prefix}.labels.npy", labels)
+
+
+class ShardImageLabelDataset:
+    """Image+label dataset over a prebuilt shard cache (stage-0 hot loop);
+    batch-native like :class:`ShardPairDataset`."""
+
+    def __init__(self, prefix: str | Path, image_key: str = "image",
+                 gather_threads: int = 8):
+        self.images = ShardReader(f"{prefix}.{image_key}.shard", gather_threads)
+        self.labels = np.load(f"{prefix}.labels.npy")
+        assert len(self.images) == len(self.labels)
+        self.image_key = image_key
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        batch = self.gather_batch([i])
+        return {self.image_key: batch[self.image_key][0],
+                "label": batch["label"][0], "name": str(i)}
+
+    def gather_batch(self, indices: Sequence[int]):
+        return {self.image_key: self.images.gather(indices),
+                "label": self.labels[np.asarray(indices)]}
+
+    def close(self):
+        self.images.close()
+
+
 class ShardPairDataset:
     """Image/mask dataset over a prebuilt shard cache; batch-native:
     ``gather_batch`` returns contiguous arrays ready for device_put."""

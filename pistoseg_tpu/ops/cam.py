@@ -8,15 +8,26 @@ sum/count canvases, normalize (sum/count, then per-image min-max), resize
 to native size, sum over scales, and finally (for the stage-4 contract)
 bilinear-downsample to 32×32.
 
-TPU-first: crop CAMs for one slide are batched into a single forward,
-and the overlap-add rides :func:`pistoseg_tpu.ops.stitch.stitch_canvas`
-on device; only the final per-slide normalize happens host-side.
+TPU-first (VERDICT r4 #7): the ENTIRE per-slide canvas pipeline — crop
+CAM overlap-add (:func:`pistoseg_tpu.ops.stitch.stitch_canvas`), the
+count-average, the per-class min-max normalize, the native-size resize
+and the cross-scale ensemble — runs on device; the functions below take
+and return device arrays, and callers fetch only the final artifact
+(4 KB per patch instead of ~100 MB of crop-CAM round trips).
+
+Bit-compatibility note: these are value-exact ports of the previous
+host-numpy implementations — elementwise IEEE ops are identical between
+numpy and XLA, min/max reductions are order-independent, and the
+ensemble preserves the original left-to-right addition order — so the
+full-chain artifact goldens (tests/goldens/) are unchanged.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,32 +41,46 @@ def accumulate_scale_cam(
     xs: jnp.ndarray,
     valid: jnp.ndarray,
     canvas_hw: Tuple[int, int],
-) -> np.ndarray:
-    """Overlap-add one scale's crops → averaged canvas (H, W, C)."""
+) -> jnp.ndarray:
+    """Overlap-add one scale's crops → averaged canvas (H, W, C), on device."""
     value, count = stitch_canvas(crop_cams, ys, xs, valid, *canvas_hw)
-    return np.asarray(value) / np.maximum(np.asarray(count), 1e-12)
+    return _canvas_average(value, count)
 
 
-def normalize_cam(canvas: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+@jax.jit
+def _canvas_average(value: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    return value / jnp.maximum(count, 1e-12)
+
+
+@jax.jit
+def normalize_cam(canvas: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-class min-max normalization over the full canvas
-    (reference ``generate_CAM.py`` canvas normalize)."""
+    (reference ``generate_CAM.py`` canvas normalize), on device."""
     mn = canvas.min(axis=(0, 1), keepdims=True)
     mx = canvas.max(axis=(0, 1), keepdims=True)
-    return (canvas - mn) / np.maximum(mx - mn, eps)
+    return (canvas - mn) / jnp.maximum(mx - mn, eps)
 
 
 def ensemble_scales(
-    scale_canvases: Sequence[np.ndarray],  # each (h_s, w_s, C), normalized
+    scale_canvases: Sequence[jnp.ndarray],  # each (h_s, w_s, C), normalized
     native_hw: Tuple[int, int],
-) -> np.ndarray:
-    """Resize each scale canvas to native size and average.
+) -> jnp.ndarray:
+    """Resize each scale canvas to native size and average, on device.
 
     The /len(scales) here IS the exporter's division
-    (``prepare_seg_inputs.py:134``) — callers must not divide again."""
-    acc = np.zeros(native_hw + (scale_canvases[0].shape[-1],), np.float32)
-    for c in scale_canvases:
-        acc += np.asarray(resize(jnp.asarray(c, jnp.float32), native_hw, "linear"))
+    (``prepare_seg_inputs.py:134``) — callers must not divide again.
+    Additions run left-to-right from a zero canvas (the numpy ``+=``
+    ordering) so results are bit-identical to the host version."""
+    c = scale_canvases[0].shape[-1]
+    acc = jnp.zeros(tuple(native_hw) + (c,), jnp.float32)
+    for sc in scale_canvases:
+        acc = _ens_add(acc, jnp.asarray(sc, jnp.float32), tuple(native_hw))
     return acc / len(scale_canvases)
+
+
+@partial(jax.jit, static_argnames=("native_hw",))
+def _ens_add(acc, canvas, native_hw):
+    return acc + resize(canvas, native_hw, "linear")
 
 
 def cam_to_artifact(cam_native: np.ndarray, size: int = 32) -> np.ndarray:

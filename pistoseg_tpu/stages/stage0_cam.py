@@ -72,27 +72,58 @@ def generate_cams_for_split(
     batch_cap: int = 32, use_label_mask: bool = True, profile=None,
     mesh=None,
 ):
-    """Yield (stem, native_hw, ensembled CAM (H, W, C), label) per image.
+    """Yield (stem, native_hw, ensembled CAM (H, W, C) DEVICE array, label)
+    per image.
 
     Canvas math follows ``generate_CAM.py:13-102``: per scale → crop
     forward → bilinear to crop size → overlap-add → normalize → resize to
-    native → sum over scales.  With ``mesh``, the crop forward runs
-    data-parallel (batch sharded on 'data'; the reference DataParallels
-    this export, ``prepare_seg_inputs.py:78``); the canvas accumulation
-    stays single-device (tiny vs the ResNet38 forward).
+    native → sum over scales.  TPU-first (VERDICT r4 #7): the whole
+    per-image pipeline runs on device — the padded scaled image is
+    uploaded ONCE per scale (when ``crop_ds`` was built with
+    ``materialize_crops=False``), windows are extracted on device, and
+    the windows of ALL scales are batched into shared ``batch_cap`` crop
+    forwards (the per-scale chunking it replaces padded every scale's
+    ragged tail separately: 2.1× the forwards at the production 5-scale
+    stride-56 geometry — 192 padded slots for 90 real windows vs 96 here).
+    Crop forwards, overlap-add, normalize and the cross-scale ensemble
+    never leave the chip; callers fetch only what they consume (the 32²
+    artifact in stage 0b).  The previous design round-tripped every crop
+    CAM through the host (~3× the crop pixels per image through the
+    tunneled relay).  With ``mesh``, the crop forward runs data-parallel
+    (window batch sharded on 'data'; the reference DataParallels this
+    export, ``prepare_seg_inputs.py:78``).
+
+    Value-exactness vs the host version (chain goldens unchanged): window
+    extraction is pure slicing, the forward batch shape is the same
+    ``batch_cap`` as before (eval-mode BN → per-sample independence, so
+    batch composition cannot change a window's CAM), and the canvas ops
+    are IEEE-identical ports (see ops/cam.py).
     """
     from pistoseg_tpu.ops.augment import normalize as _norm
 
     mean = profile.norm_mean if profile is not None else (0.485, 0.456, 0.406)
     std = profile.norm_std if profile is not None else (0.229, 0.224, 0.225)
-    # normalize fused into the forward; crop chunks padded to batch_cap so
-    # exactly ONE shape ever compiles (ragged tails would otherwise trigger
-    # a recompilation storm, SURVEY.md §7.3-5)
+    patch = crop_ds.patch_size
+    # normalize fused into the forward + bilinear-to-crop-size fused after;
+    # window chunks padded to batch_cap so exactly ONE forward shape ever
+    # compiles (ragged tails would otherwise trigger a recompilation storm,
+    # SURVEY.md §7.3-5)
     # variables passed as an ARGUMENT: closing over them would embed the
     # full parameter tree as constants in the compiled program (the remote
     # compile service rejects >100MB request bodies)
-    forward_fn = lambda v, x: model.apply(  # noqa: E731
-        v, _norm(x, mean, std), train=False)["cam"]
+    forward_fn = lambda v, x: resize(  # noqa: E731
+        model.apply(v, _norm(x, mean, std), train=False)["cam"],
+        (patch, patch), method="linear")
+
+    def extract_fn(img, ys, xs):
+        # device window extraction from the once-uploaded scaled image
+        def one(y, x):
+            return jax.lax.dynamic_slice(img, (y, x, 0),
+                                         (patch, patch, img.shape[-1]))
+
+        return jax.vmap(one)(ys, xs)
+
+    extract = jax.jit(extract_fn)
     if mesh is not None:
         from pistoseg_tpu.parallel.mesh import (
             batch_sharding, pad_to_multiple, replicated)
@@ -103,46 +134,63 @@ def generate_cams_for_split(
                           out_shardings=data)
         variables = jax.device_put(variables, repl)
         put = lambda x: jax.device_put(x, data)  # noqa: E731
+        put_repl = lambda x: jax.device_put(x, repl)  # noqa: E731
     else:
         forward = jax.jit(forward_fn)
         put = jnp.asarray
+        put_repl = jnp.asarray
+
     for i in range(len(crop_ds)):
         item = crop_ds[i]
-        scale_canvases = []
+        # 1) windows of every scale, on device, in scale-major order
+        windows, counts = [], []
         for sc in item["scales"]:
-            crops = sc["crops"]
-            cams = []
-            for k in range(0, len(crops), batch_cap):
-                chunk = crops[k : k + batch_cap]
-                n_real = len(chunk)
-                if n_real < batch_cap:
-                    pad = np.repeat(chunk[-1:], batch_cap - n_real, axis=0)
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                chunk_dev = put(chunk)
-                cam_dev = forward(variables, chunk_dev)
-                cam_dev = resize(cam_dev, (crops.shape[1], crops.shape[2]),
-                                 method="linear")
-                cams.append(np.asarray(cam_dev, np.float32)[:n_real])
-                # free device + staging buffers eagerly: the tunneled
-                # backend leaks per-transfer host buffers if left to GC
-                # (observed ~2 GB/image growth in long CAM exports)
-                chunk_dev.delete()
-                cam_dev.delete()
-            cams = np.concatenate(cams, 0)
+            if "crops" in sc:           # host-materialized (tests/legacy)
+                windows.append(put_repl(sc["crops"]))
+            else:
+                img_dev = put_repl(sc["scaled"])
+                windows.append(extract(img_dev, put_repl(sc["ys"]),
+                                       put_repl(sc["xs"])))
+                # free the upload eagerly: the tunneled backend leaks
+                # per-transfer host staging buffers if left to GC
+                img_dev.delete()
+            counts.append(len(sc["ys"]))
+        total = sum(counts)
+        wd = windows[0] if len(windows) == 1 else jnp.concatenate(windows, 0)
+        pad_n = (-total) % batch_cap
+        if pad_n:                        # pad by repeating the last window
+            wd = jnp.concatenate([wd, jnp.repeat(wd[-1:], pad_n, 0)], 0)
+        # 2) shared crop forwards across scales; pad outputs dropped
+        cams = jnp.concatenate(
+            [forward(variables, wd[k : k + batch_cap])
+             for k in range(0, total + pad_n, batch_cap)], 0)[:total]
+        del wd, windows
+        # 3) per-scale canvas: overlap-add → average → min-max normalize
+        scale_canvases = []
+        off = 0
+        for sc, n_windows in zip(item["scales"], counts):
             canvas = accumulate_scale_cam(
-                jnp.asarray(cams), jnp.asarray(sc["ys"]), jnp.asarray(sc["xs"]),
-                jnp.ones(len(cams), bool), sc["canvas_hw"],
+                cams[off : off + n_windows], put(sc["ys"]), put(sc["xs"]),
+                put(np.ones(n_windows, bool)), sc["canvas_hw"],
             )
             scale_canvases.append(normalize_cam(canvas))
+            off += n_windows
+        # 4) cross-scale ensemble at native size (still on device)
         ens = ensemble_scales(scale_canvases, item["native_hw"])
+        del scale_canvases, cams, canvas
         yield item["stem"], item["native_hw"], ens, item["label"]
+        # the caller consumed (or fetched) ens during the yield; free the
+        # device buffer before loading the next image
+        if not ens.is_deleted():
+            ens.delete()
 
 
 def validate_cams(model, variables, val_images: str, val_masks: str,
                   profile, cam_cfg) -> float:
     """Reference val loop: CAM argmax vs gt mask mIoU (``metric.py:26-86``)."""
     crop_ds = CropListDataset(
-        val_images, profile, cam_cfg.crop_size, cam_cfg.crop_size, (1.0,)
+        val_images, profile, cam_cfg.crop_size, cam_cfg.crop_size, (1.0,),
+        materialize_crops=False,
     )
     acc = MIoUAccumulator(profile.num_classes)
     for stem, _hw, cam, label in generate_cams_for_split(
@@ -161,6 +209,7 @@ def train_stage0(
     val_masks: Optional[str] = None,
     log_dir: str = "logs/stage0",
     max_steps_per_epoch: Optional[int] = None,
+    shard_cache: Optional[str] = None,
     pretrained: Optional[str] = None,
     resume: bool = False,
 ) -> Dict:
@@ -170,7 +219,32 @@ def train_stage0(
 
     model = WideResNetClassifier(num_classes=profile.num_classes)
     ds = OriginPatchesDataset(train_data, profile)
-    loader = BatchLoader(ds, cc.batch_size, shuffle=True, seed=cfg.seed)
+    if shard_cache is not None:
+        # pre-decoded native shard cache (mirror of the stage-2 path): at
+        # the reference's 20-epoch budget the per-epoch PNG decode of every
+        # training patch otherwise rides a single host core at ≈ the device
+        # step rate.  Requires uniformly-sized patches (the shard records
+        # are fixed-shape); lossless — raw uint8 pixels, labels from the
+        # filenames.
+        from pistoseg_tpu.core.manifest import (
+            hash_tree, stage_is_current, write_manifest)
+        from pistoseg_tpu.data.loader import ShardBatchLoader
+        from pistoseg_tpu.data.shardio import (
+            ShardImageLabelDataset, build_image_label_cache)
+
+        cache_dir = Path(shard_cache)
+        inputs = {"train_data": hash_tree(train_data, "*.png", limit=64)}
+        if not stage_is_current(cache_dir, "stage0_shard_cache", inputs, {}):
+            build_image_label_cache(ds, cache_dir / "patches")
+            write_manifest(cache_dir, "stage0_shard_cache", inputs, {},
+                           outputs={"records": len(ds)},
+                           hash_outputs=False)
+        loader = ShardBatchLoader(
+            ShardImageLabelDataset(cache_dir / "patches"), cc.batch_size,
+            shuffle=True, seed=cfg.seed,
+        )
+    else:
+        loader = BatchLoader(ds, cc.batch_size, shuffle=True, seed=cfg.seed)
     steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
     max_step = steps_per_epoch * cc.epochs
 
@@ -258,6 +332,7 @@ def main(argv=None):
         max_steps_per_epoch=(
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
+        shard_cache=extras.get("shard_cache"),
         pretrained=extras.get("pretrained"),
         resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
     )

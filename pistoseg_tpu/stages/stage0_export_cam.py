@@ -51,8 +51,11 @@ def export_cams(
     tree = ckpt.restore(name)
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
+    # materialize_crops=False: windows are extracted ON DEVICE from the
+    # once-uploaded scaled image (generate_cams_for_split, VERDICT r4 #7)
     crop_ds = CropListDataset(
-        train_data, profile, cfg.cam.crop_size, profile.cam_stride, profile.cam_scales
+        train_data, profile, cfg.cam.crop_size, profile.cam_stride,
+        profile.cam_scales, materialize_crops=False,
     )
     if limit is not None:
         crop_ds.paths = crop_ds.paths[:limit]

@@ -111,27 +111,43 @@ def infer_stage4b(
     for sub in ("pmask", "pcam", "cam"):
         (out / sub).mkdir(parents=True, exist_ok=True)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from pistoseg_tpu.data.datasets import load_image
 
+    def emit_one(name, pred_j):
+        # re-decode the original for its native size + background mask,
+        # then write the three palette masks (infer_revise_masks.py:161-210)
+        original = load_image(Path(train_data) / name)
+        h, w = original.shape[:2]
+        bg = extract_background(original) if profile.has_background_channel else None
+        for sub, pred in zip(("pmask", "pcam", "cam"), pred_j):
+            mask = resize_palette_pil(pred, (h, w))
+            if bg is not None:
+                mask[bg > 0] = profile.bg_class
+            encode_palette_png(mask, profile.palette, out / sub / name)
+
     n_done = 0
-    for batch in loader.epoch(0):
-        pmask, pcam, label = (jax.device_put(t, data)
-                              for t in prepare_batch(batch))
-        x = jax.device_put(batch["image"], data)
-        preds = [np.asarray(p) for p in forward(variables, x, pmask, pcam, label)]
-        for j, ok in enumerate(batch["valid"]):
-            if not ok:
-                continue
-            name = batch["name"][j]
-            original = load_image(Path(train_data) / name)
-            h, w = original.shape[:2]
-            bg = extract_background(original) if profile.has_background_channel else None
-            for sub, pred in zip(("pmask", "pcam", "cam"), preds):
-                mask = resize_palette_pil(pred[j], (h, w))
-                if bg is not None:
-                    mask[bg > 0] = profile.bg_class
-                encode_palette_png(mask, profile.palette, out / sub / name)
-            n_done += 1
+    futures = []
+    # host emission (decode + bg extract + 3 palette PNG writes per patch)
+    # overlaps the next batch's device work — it dominated the serial loop
+    # at production patch counts
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for batch in loader.epoch(0):
+            pmask, pcam, label = (jax.device_put(t, data)
+                                  for t in prepare_batch(batch))
+            x = jax.device_put(batch["image"], data)
+            preds = [np.asarray(p)
+                     for p in forward(variables, x, pmask, pcam, label)]
+            for j, ok in enumerate(batch["valid"]):
+                if not ok:
+                    continue
+                futures.append(pool.submit(
+                    emit_one, batch["name"][j],
+                    [pred[j] for pred in preds]))
+                n_done += 1
+        for f in futures:
+            f.result()
 
     write_manifest(
         out, "stage4b",

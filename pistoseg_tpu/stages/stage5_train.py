@@ -43,6 +43,7 @@ def train_stage5(
     val_big_root: Optional[str] = None,
     log_dir: str = "logs/stage5",
     max_steps_per_epoch: Optional[int] = None,
+    shard_cache: Optional[str] = None,
     resume: bool = False,
     pretrained: Optional[str] = None,
     trust_inputs: bool = False,
@@ -64,7 +65,52 @@ def train_stage5(
         train_data, mask_dir, profile, sc.patch_size,
         cutmix_prob=sc.cutmix_prob if sc.cutmix else 0.0, seed=cfg.seed,
     )
-    loader = BatchLoader(train_ds, sc.batch_size, shuffle=True, seed=cfg.seed)
+    if shard_cache is not None:
+        # pre-decoded native shard cache for the hot loop (mirror of the
+        # stage-2 path): at the reference's 15-epoch budget the per-epoch
+        # double PNG decode (image + refined mask) otherwise outruns the
+        # device step on a small host.  Cached images are uint8-rounded
+        # (the dataset resizes to patch² in f32; ≤0.5/255 quantization
+        # pre-normalization — below the augmentation noise floor); the
+        # raw loader stays the bit-exact reference path.
+        if sc.cutmix:
+            raise ValueError("shard_cache is incompatible with cutmix "
+                             "(host-side pair mixing cannot be pre-decoded)")
+        from pistoseg_tpu.core.manifest import (
+            hash_tree, stage_is_current, write_manifest)
+        from pistoseg_tpu.data.loader import ShardBatchLoader
+        from pistoseg_tpu.data.shardio import (
+            ShardPairDataset, build_image_mask_cache)
+
+        class _Quantized:
+            def __init__(self, ds):
+                self.ds = ds
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                import numpy as np
+                it = self.ds[i]
+                return {"image": np.clip(np.rint(it["image"]), 0, 255
+                                         ).astype(np.uint8),
+                        "mask": it["mask"]}
+
+        cache_dir = Path(shard_cache)
+        inputs = {"train_data": hash_tree(train_data, "*.png", limit=64),
+                  "mask_dir": hash_tree(mask_dir, "*.png", limit=64),
+                  "patch_size": str(sc.patch_size)}
+        if not stage_is_current(cache_dir, "stage5_shard_cache", inputs, {}):
+            build_image_mask_cache(_Quantized(train_ds), cache_dir / "refine")
+            write_manifest(cache_dir, "stage5_shard_cache", inputs, {},
+                           outputs={"records": len(train_ds)},
+                           hash_outputs=False)
+        loader = ShardBatchLoader(
+            ShardPairDataset(cache_dir / "refine"), sc.batch_size,
+            shuffle=True, seed=cfg.seed,
+        )
+    else:
+        loader = BatchLoader(train_ds, sc.batch_size, shuffle=True, seed=cfg.seed)
     steps_per_epoch = len(loader) if max_steps_per_epoch is None else min(len(loader), max_steps_per_epoch)
 
     tx = adamw_exponential(sc.lr, sc.weight_decay, sc.lr_decay, steps_per_epoch)
@@ -156,6 +202,7 @@ def main(argv=None):
         max_steps_per_epoch=(
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
+        shard_cache=extras.get("shard_cache"),
         resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
         pretrained=extras.get("pretrained"),
         trust_inputs=extras.get("trust_inputs", "false").lower() in ("1", "true", "yes"),

@@ -25,6 +25,7 @@ B3=${PRETRAINED_B3:+--pretrained=$PRETRAINED_B3}
 python -m pistoseg_tpu.stages.stage0_cam $DS \
     --train_data=$DATA/training --log_dir=$LOGS/stage0 \
     --val_images=$DATA/validation/img --val_masks=$DATA/validation/mask \
+    --shard_cache=$LOGS/stage0_shards \
     ${R38:-}
 python -m pistoseg_tpu.stages.stage0_export_cam $DS \
     --train_data=$DATA/training --ckpt_dir=$LOGS/stage0/checkpoints \
@@ -82,6 +83,7 @@ python -m pistoseg_tpu.stages.stage5_train $DS \
     --train_data=$DATA/training --mask_dir=$LOGS/stage4/refine/cam \
     --val_data=$DATA/validation/patches_224_56 \
     --val_big_root=$DATA/validation \
+    --shard_cache=$LOGS/stage5_shards \
     --log_dir=$LOGS/stage5 \
     ${B3:-}
 python -m pistoseg_tpu.stages.stage5_test $DS \
