@@ -114,11 +114,21 @@ def gen_dataset(work: Path, scale: float) -> dict:
     rng = np.random.RandomState(2022)
     for i in range(n_train):
         cls = i % profile.num_classes
-        # textured single-class patch: base color + blocky texture + noise
+        # textured single-class patch: the class color blended a random
+        # amount (<0.45, class color stays dominant) toward another class
+        # so the task is NOT trivially separable.  With fully-separated
+        # colors the BCE saturated to exact 0 within ~10 steps, the logits
+        # grew unbounded and the bf16 forward overflowed to NaN by step 30
+        # (measured, probe 2026-08-19); an irreducible confusion floor
+        # keeps gradients finite over the full 20-epoch budget and is
+        # closer to the real task's difficulty anyway.
+        other = colors[rng.randint(profile.num_classes)].astype(np.float64)
+        alpha = rng.uniform(0.0, 0.45)
+        base = (1.0 - alpha) * colors[cls].astype(np.float64) + alpha * other
         tex = rng.randint(-30, 30, (PATCH_NATIVE // 10, PATCH_NATIVE // 10, 3))
         tex = np.kron(tex, np.ones((10, 10, 1)))
-        img = np.clip(colors[cls][None, None].astype(np.int16) + tex
-                      + rng.randint(-15, 15, (PATCH_NATIVE, PATCH_NATIVE, 3)),
+        img = np.clip(base[None, None] + tex
+                      + rng.randint(-25, 25, (PATCH_NATIVE, PATCH_NATIVE, 3)),
                       0, 200).astype(np.uint8)
         label = [1 if c == cls else 0 for c in range(profile.num_classes)]
         name = f"t{i:05d}-{format_label(label, profile.label_grammar)}.png"
@@ -157,11 +167,11 @@ def steady_state_from_log(log_dir: Path, stage: str) -> dict:
     out = {}
     if not p.exists():
         return out
-    compile_s, ips, val_rows = 0.0, [], 0
+    compile_s, ips, val_rows, last_loss = 0.0, [], 0, None
     for line in p.read_text().splitlines():
         try:
             row = json.loads(line)
-        except json.JSONDecodeError:
+        except ValueError:
             continue
         if "compile_seconds" in row:
             compile_s += row.get("compile_seconds") or 0.0
@@ -169,10 +179,21 @@ def steady_state_from_log(log_dir: Path, stage: str) -> dict:
             ips.append(row["items_per_sec"])
         if "patch_miou" in row or "cam_miou" in row:
             val_rows += 1
+        if "train_loss" in row and row["train_loss"] is not None:
+            last_loss = row["train_loss"]
     if ips:
         out["items_per_sec_last"] = round(ips[-1], 1)
         out["items_per_sec_median"] = round(sorted(ips)[len(ips) // 2], 1)
     out["compile_seconds_total"] = round(compile_s, 1)
+    if last_loss is not None:
+        out["train_loss_last"] = round(last_loss, 4)
+        # a diverged trainer poisons every downstream stage — fail the run
+        # NOW instead of measuring hours of garbage (stage-0 did exactly
+        # this before the lr fix above)
+        if not np.isfinite(last_loss):
+            raise RuntimeError(
+                f"{stage}: train_loss diverged ({last_loss}) — aborting the "
+                "full-budget run; fix the stage before re-measuring")
     return out
 
 
@@ -208,6 +229,13 @@ def main():
     cfg.dataset = "wsss4luad"
     # bench-rate batch shapes (PERF.md round-4 "Our side")
     cfg.cam.batch_size = 16
+    # the reference's stage-0 lr (0.01) assumes the pretrained res38d trunk
+    # (OEEM classification train.py); from RANDOM init (no published weights
+    # in this environment) the frozen-BN WRN38 diverges — measured NaN at
+    # step 30 of epoch 0 at scale 1.0.  0.003 is probe-stable; the budget
+    # (epochs × images, the quantity the e2e model composes over) is
+    # unchanged — lr is not a throughput variable.
+    cfg.cam.lr = 0.003
     cfg.mosaic.batch_size = 64
     cfg.seg.batch_size = 32
     if scale != 1.0:
