@@ -82,6 +82,39 @@ def apply_pretrained(state, path: str, *, encoder_name: Optional[str] = None,
     )
 
 
+def apply_stage0_trunk(state, ckpt_dir: str):
+    """Warm-start a ReviseNet ``backbone`` from a stage-0 classifier
+    checkpoint's ``trunk``.
+
+    Both are the same ``ResNet38d`` (``wide_resnet.py`` trunk vs ``rfm.py``
+    backbone — ``b7_dilation`` is a call-time attribute, not a parameter
+    shape), so the overlay is exact and ``strict_cover`` holds.  The
+    reference initializes the stage-4 backbone from the published res38d
+    weights (``revise_pseudo_labels.py:179-185``); when those files are
+    unavailable, the stage-0 classifier trained earlier in the SAME
+    pipeline is the natural in-pipeline source of a non-random backbone —
+    from random init the RFM's affinity features carry no signal and the
+    revision makes masks worse (measured: convergence benchmark,
+    corrupted 0.71 → 'refined' 0.21 mIoU before this warm start).
+    """
+    from pistoseg_tpu.core.checkpoint import CheckpointManager
+    from pistoseg_tpu.models.pretrained import overlay_subtree
+
+    ckpt = CheckpointManager(ckpt_dir)
+    tree = ckpt.restore("best" if ckpt.exists("best") else "last")
+    params = overlay_subtree(
+        state.params, "backbone", tree["params"]["trunk"],
+        what="params", strict_cover=True)
+    batch_stats = overlay_subtree(
+        state.batch_stats, "backbone", tree["batch_stats"]["trunk"],
+        what="batch_stats", strict_cover=True)
+    device = jax.devices()[0]
+    return state.replace(
+        params=jax.device_put(params, device),
+        batch_stats=jax.device_put(batch_stats, device),
+    )
+
+
 def make_infer_forward(model, variables):
     """Production inference forward for a frozen checkpoint.
 

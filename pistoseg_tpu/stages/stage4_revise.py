@@ -97,6 +97,7 @@ def train_stage4(
     log_dir: str = "logs/stage4",
     max_steps_per_epoch: Optional[int] = None,
     pretrained: Optional[str] = None,
+    pretrained_stage0: Optional[str] = None,
     trust_inputs: bool = False,
     resume: bool = False,
 ) -> Dict:
@@ -142,6 +143,12 @@ def train_stage4(
     if pretrained:
         # ImageNet ResNet38d backbone init (revise_pseudo_labels.py:179-185)
         state = apply_pretrained(state, pretrained, subtree="backbone")
+    elif pretrained_stage0:
+        # warm-start from the stage-0 classifier trained earlier in this
+        # pipeline — the in-pipeline substitute for the published res38d
+        # init when the file is unavailable (see apply_stage0_trunk)
+        from pistoseg_tpu.stages.common import apply_stage0_trunk
+        state = apply_stage0_trunk(state, pretrained_stage0)
 
     train_step = make_train_step(
         build_loss_fn(model, s, rc.ecr_topk_frac, rc.precision), mesh
@@ -197,6 +204,7 @@ def main(argv=None):
             int(extras["max_steps_per_epoch"]) if "max_steps_per_epoch" in extras else None
         ),
         pretrained=extras.get("pretrained"),
+        pretrained_stage0=extras.get("pretrained_stage0"),
         trust_inputs=extras.get("trust_inputs", "false").lower() in ("1", "true", "yes"),
         resume=extras.get("resume", "false").lower() in ("1", "true", "yes"),
     )

@@ -353,9 +353,13 @@ def main():
         str(work / "pseudo")))
 
     # ---- stage 4: RFM revise train (run.sh:21) ---------------------------
+    # warm-start the backbone from the stage-0 classifier (the reference
+    # loads the published res38d weights here; absent those files, the
+    # in-pipeline classifier is the non-random source — apply_stage0_trunk)
     r4 = timed("s4_train", lambda: train_stage4(
         cfg, train, str(work / "pseudo" / "logits_32x32"), str(cam_dir),
-        log_dir=str(logs / "stage4"), resume=True))
+        log_dir=str(logs / "stage4"), resume=True,
+        pretrained_stage0=s0_ckpt))
     results["stage_detail"].setdefault("s4_train", {}).update(
         steady_state_from_log(logs / "stage4", "stage4"))
     save()

@@ -198,12 +198,28 @@ def corpus(tmp_path_factory):
     cfg = _cfg()
     split_images(cfg, str(root / "valid"), str(root / "val_patches"),
                  patch_size=SIZE, stride=SIZE // 2)
-    return {"root": root, "train": train, "gt": gt, "names": names}
+    # a quick stage-0 classifier on the same corpus: stage 4's backbone
+    # warm start (the reference inits it from published res38d weights;
+    # from RANDOM init the RFM measurably corrupts its inputs — see
+    # apply_stage0_trunk)
+    from pistoseg_tpu.stages.stage0_cam import train_stage0
+
+    r0 = train_stage0(_cfg(), str(train), log_dir=str(root / "logs/s0"))
+    return {"root": root, "train": train, "gt": gt, "names": names,
+            "s0_ckpt": r0["checkpoint_dir"]}
 
 
 def _cfg() -> Config:
     cfg = Config()
     cfg.dataset = "wsss4luad"
+    # single-device mesh (chain-test precedent): the default (-1,) absorbs
+    # the conftest's 8 virtual devices, which both thrashes the 1-core host
+    # with collectives and rejects revise.batch_size=4 (not divisible by 8)
+    cfg.mesh.shape = (1,)
+    cfg.cam.crop_size = SIZE
+    cfg.cam.batch_size = 8
+    cfg.cam.epochs = 8
+    cfg.cam.lr = 0.003          # random init (full-budget harness finding)
     cfg.mosaic.patch_size = SIZE
     cfg.mosaic.batch_size = 8
     cfg.mosaic.epochs = 8
@@ -257,7 +273,8 @@ def test_stage4_rfm_improves_corrupted_masks(corpus):
     root, train, gt = corpus["root"], corpus["train"], corpus["gt"]
     cfg = _cfg()
     r4 = train_stage4(cfg, str(train), str(root / "pmask"), str(root / "cam"),
-                      log_dir=str(root / "logs/s4"), trust_inputs=True)
+                      log_dir=str(root / "logs/s4"), trust_inputs=True,
+                      pretrained_stage0=corpus["s0_ckpt"])
     infer_stage4b(cfg, str(train), str(root / "pmask"), str(root / "cam"),
                   r4["checkpoint_dir"], out_dir=str(root / "refine"),
                   trust_inputs=True)

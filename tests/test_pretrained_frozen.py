@@ -181,3 +181,46 @@ def test_stage0_pretrained_flag_e2e(tmp_path):
         stats["b4/bn_branch2a/bn/mean"],
         _leaf_paths(imp_stats)["b4/bn_branch2a/bn/mean"],
     )
+
+
+def test_stage4_pretrained_stage0_warm_start(tmp_path):
+    """train_stage4(pretrained_stage0=...) overlays the stage-0 classifier
+    trunk onto the ReviseNet backbone exactly (the in-pipeline substitute
+    for the published res38d init — stages/common.py::apply_stage0_trunk)."""
+    from pistoseg_tpu.core.checkpoint import CheckpointManager
+    from pistoseg_tpu.stages.common import apply_stage0_trunk
+    from pistoseg_tpu.stages.stage0_cam import train_stage0
+    from pistoseg_tpu.train.state import create_train_state
+    import optax
+
+    train = tmp_path / "train"
+    make_training_patches(train, "wsss4luad", n_per_class=2, size=32)
+    cfg = Config()
+    cfg.mesh.shape = (1,)
+    cfg.cam.batch_size = 2
+    cfg.cam.epochs = 1
+    cfg.cam.crop_size = 32
+    r0 = train_stage0(cfg, str(train), log_dir=str(tmp_path / "s0"),
+                      max_steps_per_epoch=2)
+
+    model = ReviseNet(num_classes=4)
+    rng = jax.random.PRNGKey(0)
+    sample = (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16, 16, 4)),
+              jnp.zeros((1, 16, 16, 4)))
+    state = create_train_state(model, rng, sample, optax.sgd(0.1))
+    before = _leaf_paths(state.params["backbone"])
+    state = apply_stage0_trunk(state, r0["checkpoint_dir"])
+
+    tree = CheckpointManager(r0["checkpoint_dir"]).restore("last")
+    trunk_p = _leaf_paths(tree["params"]["trunk"])
+    trunk_s = _leaf_paths(tree["batch_stats"]["trunk"])
+    after_p = _leaf_paths(jax.device_get(state.params)["backbone"])
+    after_s = _leaf_paths(jax.device_get(state.batch_stats)["backbone"])
+    # strict_cover: EVERY backbone leaf replaced by the trained trunk leaf
+    assert set(after_p) == set(trunk_p)
+    for k in trunk_p:
+        np.testing.assert_array_equal(after_p[k], trunk_p[k])
+    for k in trunk_s:
+        np.testing.assert_array_equal(after_s[k], trunk_s[k])
+    # and the warm start actually changed the random init
+    assert any(not np.array_equal(before[k], after_p[k]) for k in before)
