@@ -40,7 +40,13 @@ def main():
 
     split_images(tc._cfg(), str(work / "valid"), str(work / "val_patches"),
                  patch_size=tc.SIZE, stride=tc.SIZE // 2)
-    corpus = {"root": work, "train": train, "gt": gt, "names": names}
+    # quick stage-0 classifier: stage 4's backbone warm start (mirror of
+    # the pytest fixture)
+    from pistoseg_tpu.stages.stage0_cam import train_stage0
+
+    r0 = train_stage0(tc._cfg(), str(train), log_dir=str(work / "logs/s0"))
+    corpus = {"root": work, "train": train, "gt": gt, "names": names,
+              "s0_ckpt": r0["checkpoint_dir"]}
 
     t0 = time.monotonic()
     results = {}
