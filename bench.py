@@ -549,6 +549,9 @@ def compose_e2e(rates):
         # efficient, 15% MFU); speedup_hi assumes 9%
         speedups = {band: sum(ref_s[band].values()) / total for band in MFU_BAND}
         out["ref_hours_mid"] = round(sum(ref_s["mid"].values()) / 3600.0, 2)
+        # conservative = reference at its most efficient (15% MFU)
+        out["ref_hours_lo"] = round(sum(ref_s["hi"].values()) / 3600.0, 2)
+        out["ref_hours_hi"] = round(sum(ref_s["lo"].values()) / 3600.0, 2)
         out["e2e_speedup"] = round(speedups["mid"], 2)
         out["e2e_speedup_lo"] = round(speedups["hi"], 2)   # ref MFU 15%
         out["e2e_speedup_hi"] = round(speedups["lo"], 2)   # ref MFU 9%
@@ -640,15 +643,45 @@ def main():
     })
     extras["baseline_note"] = (
         "HEADLINE = end-to-end WSSS4LUAD pipeline speedup (BASELINE.md's own "
-        "phrasing): measured per-stage chip rates composed over the "
-        "reference's budgets vs an analytic 3090 model swept over 9-15% MFU "
-        "(vs_baseline_lo = reference at its most charitable 15% MFU).  The "
-        "reference publishes no timings, so the denominator is modeled, not "
-        "measured — provenance in extras.e2e.ref_model; full derivation in "
-        "PERF.md.  The single-model infer-only claim (weaker: does not "
-        "survive 15% ref-MFU) is in extras.infer_vs_baseline*.")
+        "phrasing).  Numerator: when perf/full_budget_wsss4luad.json holds a "
+        "scale-1.0 run, ours is MEASURED wall clock of the whole pipeline at "
+        "the reference's budgets on this chip (validation/checkpoint "
+        "included); otherwise composed per-stage chip rates.  Denominator: "
+        "an analytic 3090 model swept over 9-15% MFU (vs_baseline_lo = "
+        "reference at its most charitable 15% MFU) — the reference publishes "
+        "no timings, so it is modeled, not measured (provenance in "
+        "extras.e2e.ref_model; full derivation in PERF.md).  The single-model "
+        "infer-only claim (weaker: does not survive 15% ref-MFU) is in "
+        "extras.infer_vs_baseline*.")
 
-    if "e2e_speedup" in e2e:
+    # prefer the MEASURED numerator when a full-budget scale-1.0 run exists
+    # (scripts/run_full_budget.py executed the whole pipeline at the
+    # reference's budgets on the chip): ours is then a wall-clock
+    # measurement (per-epoch validation/checkpoint overhead INCLUDED),
+    # only the reference side stays modeled
+    fb_sum = extras.get("full_budget_run") or {}
+    measured_h = fb_sum.get("e2e_device_stages_hours")
+    if (fb_sum.get("scale") == 1.0 and measured_h
+            and "ref_hours_mid" in e2e):
+        e2e["e2e_speedup_measured"] = round(e2e["ref_hours_mid"] / measured_h, 2)
+        e2e["e2e_speedup_measured_lo"] = round(e2e["ref_hours_lo"] / measured_h, 2)
+        e2e["e2e_speedup_measured_hi"] = round(e2e["ref_hours_hi"] / measured_h, 2)
+
+    if "e2e_speedup_measured" in e2e:
+        headline = {
+            "metric": "wsss4luad_pipeline_e2e_speedup_measured",
+            "value": e2e["e2e_speedup_measured"],
+            "unit": "x vs modeled 1xRTX3090 reference (ours MEASURED: "
+                    f"{measured_h} h/chip full-budget run incl. validation)",
+            "vs_baseline": e2e["e2e_speedup_measured"],
+            "extras": dict(
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in extras.items() if v is not None},
+                vs_baseline_lo=e2e["e2e_speedup_measured_lo"],
+                vs_baseline_hi=e2e["e2e_speedup_measured_hi"],
+            ),
+        }
+    elif "e2e_speedup" in e2e:
         # the defensible claim leads (VERDICT r4 #6): end-to-end speedup,
         # with the sensitivity band as vs_baseline_lo/hi
         headline = {

@@ -168,6 +168,7 @@ def steady_state_from_log(log_dir: Path, stage: str) -> dict:
     if not p.exists():
         return out
     compile_s, ips, val_rows, last_loss = 0.0, [], 0, None
+    train_s = 0.0
     for line in p.read_text().splitlines():
         try:
             row = json.loads(line)
@@ -175,6 +176,11 @@ def steady_state_from_log(log_dir: Path, stage: str) -> dict:
             continue
         if "compile_seconds" in row:
             compile_s += row.get("compile_seconds") or 0.0
+        if "epoch_seconds" in row:
+            # train-loop wall only (validation/checkpoint excluded by the
+            # trainer, loop.py) — stage_wall - train_seconds_total is the
+            # stage's validation + loader-warmup + checkpoint share
+            train_s += row.get("epoch_seconds") or 0.0
         if "items_per_sec" in row and row.get("items_per_sec"):
             ips.append(row["items_per_sec"])
         if "patch_miou" in row or "cam_miou" in row:
@@ -185,6 +191,8 @@ def steady_state_from_log(log_dir: Path, stage: str) -> dict:
         out["items_per_sec_last"] = round(ips[-1], 1)
         out["items_per_sec_median"] = round(sorted(ips)[len(ips) // 2], 1)
     out["compile_seconds_total"] = round(compile_s, 1)
+    if train_s:
+        out["train_seconds_total"] = round(train_s, 1)
     if last_loss is not None:
         out["train_loss_last"] = round(last_loss, 4)
         # a diverged trainer poisons every downstream stage — fail the run
