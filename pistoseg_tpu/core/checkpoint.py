@@ -12,10 +12,14 @@ explicitly (SURVEY.md §5.4).
 from __future__ import annotations
 
 import json
+import os
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -24,16 +28,69 @@ def _to_savable(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-class CheckpointManager:
-    """best/last checkpoints under ``root/`` with a metadata sidecar."""
+def _device_snapshot(x):
+    """A new device buffer with the same contents — safe against the train
+    step's donation of the original (a donated input is deleted at the next
+    dispatch; snapshotting on device is an async HBM copy, so the caller
+    never blocks on a device→host fetch)."""
+    if isinstance(x, jax.Array):
+        y = jnp.copy(x)
+        # jnp.copy stays on device with the input's sharding; if a future
+        # jax ever reshards exotic layouts through the host, fall back to
+        # the safe synchronous fetch rather than write a resharded tree
+        if getattr(y, "sharding", None) == getattr(x, "sharding", None):
+            return y
+        return np.asarray(x)
+    return x
 
-    def __init__(self, root: str | Path):
+
+class CheckpointManager:
+    """best/last checkpoints under ``root/`` with a metadata sidecar.
+
+    Writes are ASYNCHRONOUS by default: ``save`` snapshots the tree on
+    device (donation-safe ``jnp.copy``) and hands serialization + disk IO
+    to a single FIFO worker thread, so the accelerator keeps training while
+    the host writes (a full-state checkpoint measured ~50 s/epoch of pure
+    blocked-device time in the round-5 full-budget stage-0 run).  Ordering
+    between slots is preserved (one worker, FIFO); memory is bounded by
+    ``max_pending`` in-flight snapshots.  All read paths (``restore``,
+    ``metadata``, ``exists``) and ``flush`` drain pending writes first —
+    callers hashing the checkpoint tree (stage manifests) must ``flush()``
+    (the stage trainers do, right after ``fit``).  Set
+    ``PISTOSEG_SYNC_CKPT=1`` to force synchronous writes (A/B, debugging).
+    """
+
+    def __init__(self, root: str | Path, *, async_writes: Optional[bool] = None,
+                 max_pending: int = 2):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
+        if async_writes is None:
+            async_writes = os.environ.get("PISTOSEG_SYNC_CKPT", "") != "1"
+        self._async = async_writes
+        self._max_pending = max(1, max_pending)
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._pending: deque = deque()
 
     def _slot(self, name: str) -> Path:
         return self.root / name
+
+    # -- async write machinery ---------------------------------------------
+
+    def _write(self, name: str, host_tree: Any, meta: dict) -> None:
+        """Runs on the worker thread (or inline when sync): the orbax save
+        + metadata sidecar.  ``host_tree`` leaves may still be jax Arrays
+        (device snapshots) — ``_to_savable``'s np.asarray does the
+        device→host fetch HERE, overlapped with the main thread's compute."""
+        self._ckptr.save(self._slot(name).absolute(), _to_savable(host_tree),
+                         force=True)
+        (self.root / f"{name}.meta.json").write_text(json.dumps(meta, indent=2))
+
+    def flush(self) -> None:
+        """Block until every pending write is on disk; re-raise the first
+        worker failure (a lost checkpoint must not be silent)."""
+        while self._pending:
+            self._pending.popleft().result()
 
     def save(
         self,
@@ -45,24 +102,36 @@ class CheckpointManager:
         metric: float = float("nan"),
         extra: Optional[dict] = None,
     ) -> None:
-        path = self._slot(name)
-        self._ckptr.save(path.absolute(), _to_savable(tree), force=True)
         meta = {"epoch": epoch, "step": step, "metric": metric}
         if extra:
             meta.update(extra)
-        (self.root / f"{name}.meta.json").write_text(json.dumps(meta, indent=2))
+        if not self._async:
+            self._write(name, tree, meta)
+            return
+        snap = jax.tree_util.tree_map(_device_snapshot, tree)
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
+        # bounded in-flight snapshots: wait for the oldest write (also
+        # surfaces its exception) before holding more device memory
+        while len(self._pending) >= self._max_pending:
+            self._pending.popleft().result()
+        self._pending.append(self._pool.submit(self._write, name, snap, meta))
 
     def restore(self, name: str, target: Optional[Any] = None) -> Any:
+        self.flush()
         path = self._slot(name)
         if target is not None:
             return self._ckptr.restore(path.absolute(), item=_to_savable(target))
         return self._ckptr.restore(path.absolute())
 
     def metadata(self, name: str) -> dict:
+        self.flush()
         p = self.root / f"{name}.meta.json"
         return json.loads(p.read_text()) if p.exists() else {}
 
     def exists(self, name: str) -> bool:
+        self.flush()
         return self._slot(name).exists()
 
     def save_best_last(self, tree, epoch: int, metric: float, is_best: bool,

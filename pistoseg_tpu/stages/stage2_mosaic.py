@@ -218,6 +218,7 @@ def train_stage2(
         trainer.best_metric = bm.get("metric", -float("inf"))
         trainer.best_epoch = bm.get("epoch", -1)
     state = trainer.fit(state)
+    ckpt.flush()   # all checkpoint bytes on disk before manifests hash them
 
     result = {"best_metric": trainer.best_metric, "best_epoch": trainer.best_epoch}
     # post-fit: best checkpoint + d4 TTA re-validation (mosaic_train.py:194-206)

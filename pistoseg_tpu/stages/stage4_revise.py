@@ -189,6 +189,7 @@ def train_stage4(
             s, e, step_in_epoch=i),
     )
     trainer.fit(state)
+    ckpt.flush()   # all checkpoint bytes on disk before manifests hash them
     return {"steps": max_step, "checkpoint_dir": str(ckpt.root)}
 
 

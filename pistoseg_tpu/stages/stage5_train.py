@@ -186,6 +186,7 @@ def train_stage5(
         trainer.best_metric = bm.get("metric", -float("inf"))
         trainer.best_epoch = bm.get("epoch", -1)
     trainer.fit(state)
+    ckpt.flush()   # all checkpoint bytes on disk before manifests hash them
     return {"best_metric": trainer.best_metric, "best_epoch": trainer.best_epoch,
             "checkpoint_dir": str(ckpt.root)}
 
