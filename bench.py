@@ -661,7 +661,11 @@ def main():
     # only the reference side stays modeled
     fb_sum = extras.get("full_budget_run") or {}
     measured_h = fb_sum.get("e2e_device_stages_hours")
+    # "complete" guards against a crashed/partial run's summary being
+    # promoted as the full measured pipeline (harness sets it only when
+    # every stage has a measured wall)
     if (fb_sum.get("scale") == 1.0 and measured_h
+            and fb_sum.get("complete", True)
             and "ref_hours_mid" in e2e):
         e2e["e2e_speedup_measured"] = round(e2e["ref_hours_mid"] / measured_h, 2)
         e2e["e2e_speedup_measured_lo"] = round(e2e["ref_hours_lo"] / measured_h, 2)

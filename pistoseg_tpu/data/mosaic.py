@@ -196,6 +196,12 @@ class MosaicSynthesizer:
 
     def write_dataset(self, out_dir: str | Path, num_images: int, num_workers: int = 8) -> None:
         """Sharded parallel write with disjoint index ranges (cell 14)."""
+        # more workers than cores only multiplies cost on this path: each
+        # SPAWNED worker re-imports the package and rebuilds its own
+        # decoded-tile cache (~10k PNG decodes), so oversubscription pays
+        # the duplicate caches with zero added parallelism (single-core
+        # full-budget host, round 5)
+        num_workers = max(1, min(num_workers, mp.cpu_count()))
         if num_workers <= 1:
             self.write_range(out_dir, 0, num_images)
             return

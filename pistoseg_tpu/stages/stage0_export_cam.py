@@ -30,7 +30,20 @@ def export_cams(
     ckpt_dir: str,
     out_dir: str,
     limit: Optional[int] = None,
+    chunk: Optional[tuple] = None,
 ) -> Dict:
+    """Export training CAMs.
+
+    ``chunk=(start, stop)`` exports only ``paths[start:stop]`` of the full
+    (unlimited) export, skipping stems whose ``.npy`` already exists —
+    the unit the full-budget harness runs in its own subprocess so the
+    tunneled TPU client's per-upload host-staging leak (measured ~100% of
+    uploaded bytes retained, round-5 probe) dies with the worker instead
+    of accumulating across all 10k images.  The skip-if-current check
+    runs on the first chunk; the chunk that reaches the end writes the
+    manifest for the WHOLE artifact tree.  ``chunk=None`` is the original
+    single-call behavior (tests, small runs).
+    """
     profile = cfg.profile
     model = WideResNetClassifier(num_classes=profile.num_classes)
     ckpt = CheckpointManager(ckpt_dir)
@@ -42,9 +55,10 @@ def export_cams(
     manifest_inputs = {
         "train_data": hash_tree(train_data, "*.png", limit=256),
         "checkpoint": hash_tree(Path(ckpt_dir) / f"{name}.meta.json"),
-        "limit": str(limit),
+        "limit": str(None if chunk is not None else limit),
     }
-    if skip_if_current(out, "stage0_export", manifest_inputs, cfg.to_dict()):
+    if (chunk is None or chunk[0] == 0) and skip_if_current(
+            out, "stage0_export", manifest_inputs, cfg.to_dict()):
         return {"cams": -1, "out_dir": str(out), "checkpoint": name,
                 "skipped": True}
 
@@ -57,7 +71,26 @@ def export_cams(
         train_data, profile, cfg.cam.crop_size, profile.cam_stride,
         profile.cam_scales, materialize_crops=False,
     )
-    if limit is not None:
+    finalize = True
+    if chunk is not None:
+        start, stop = chunk
+        finalize = stop >= len(crop_ds.paths)
+        chunk_paths = crop_ds.paths[start:stop]
+
+        # chunk resume: a previous worker's completed artifacts are kept —
+        # but only after a load check, since a killed worker can leave a
+        # truncated .npy behind
+        def _done(stem: str) -> bool:
+            fp = out / f"{stem}.npy"
+            try:
+                a = np.load(fp)
+                return (a.shape[0] == profile.num_classes
+                        and bool(np.isfinite(a).all()))
+            except Exception:
+                return False
+
+        crop_ds.paths = [p for p in chunk_paths if not _done(Path(p).stem)]
+    elif limit is not None:
         crop_ds.paths = crop_ds.paths[:limit]
 
     out.mkdir(parents=True, exist_ok=True)
@@ -73,13 +106,17 @@ def export_cams(
         np.save(out / f"{stem}.npy", cam_to_artifact(cam, 32))
         n += 1
 
-    write_manifest(
-        out, "stage0_export",
-        inputs=manifest_inputs,
-        config=cfg.to_dict(),
-        outputs={"cams": n},
-    )
-    return {"cams": n, "out_dir": str(out), "checkpoint": name}
+    if chunk is not None:
+        n = len(list(out.glob("*.npy")))  # manifest counts the whole tree
+    if finalize:
+        write_manifest(
+            out, "stage0_export",
+            inputs=manifest_inputs,
+            config=cfg.to_dict(),
+            outputs={"cams": n},
+        )
+    return {"cams": n, "out_dir": str(out), "checkpoint": name,
+            "finalized": finalize}
 
 
 def main(argv=None):

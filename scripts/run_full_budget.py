@@ -3,7 +3,7 @@ real chip — the measurement that validates (or refutes) the composed
 end-to-end model in ``bench.py::compose_e2e`` (VERDICT r4 #1).
 
 Mirrors ``run_wsss4luad.sh`` stage-for-stage with the production loaders
-(shard caches for stages 2/5) over a full-size synthetic dataset shaped
+(shard caches for stages 0/2/5) over a full-size synthetic dataset shaped
 like the challenge release:
 
 * 10,091 single-label 250² training patches (the composed model's
@@ -20,16 +20,34 @@ sizes are set to the bench's measured-rate shapes (s0 b16, s2 b64, s4
 b16, s5 b32, s3 b64 d4-TTA, s4b b16@256², s5-test b256) — the budget is
 in images, batching is this implementation's freedom.
 
-Every stage is wall-timed; training stages additionally report the
-steady-state ``items_per_sec``/``compile_seconds`` from their epoch logs,
-and host RSS is sampled throughout (multi-hour memory stability).  The
-result is written to ``perf/full_budget_wsss4luad.json`` (picked up by
-``bench.py`` into BENCH extras) with a per-stage comparison against the
-composed model: any stage >1.3× over its modeled time is flagged.
+Every stage runs in its OWN subprocess (``--worker=<stage>``), like the
+reference's run.sh launches each stage as a fresh python process.  This
+is load-bearing here: the tunneled TPU client leaks ~100% of every
+host→device transfer's bytes as host RSS (round-5 probe: 30×3.1 MB f32
+uploads → +92 MB RSS, unaffected by dtype, shape reuse, donation,
+``.delete()``, gc or ``malloc_trim``), so a single-process run of the
+full pipeline accumulates >120 GB of dead staging buffers and OOMs (the
+first scale-1.0 attempt died exactly there, 2026-08-20).  Per-stage
+workers return the leak to the OS at each stage boundary; the biggest
+single-stage leak (stage 2: 15 epochs × 3 GB uint8 uploads ≈ 45 GB)
+fits the 125 GB host.  Stage 0b is further chunked (``--chunk=a:b``)
+because its multiscale float32 uploads leak ~7.6 MB per image ≈ 77 GB
+over the full split.
 
-Resumable: a fixed workdir + stage manifests (inference/export stages
-skip-if-current) + ``resume=True`` training stages (a completed trainer
-restores its final state and runs zero epochs).
+Every stage is wall-timed (wall includes the worker's process + TPU
+client startup — the reference pays the same per-stage python startup);
+training stages additionally report the steady-state
+``items_per_sec``/``compile_seconds`` from their epoch logs, and the
+worker's host RSS is sampled throughout (multi-hour memory stability).
+The result is written to ``perf/full_budget_wsss4luad.json`` (picked up
+by ``bench.py`` into BENCH extras) with a per-stage comparison against
+the composed model: any stage >1.3× over its modeled time is flagged.
+
+Resumable across launches: a fixed workdir + stage manifests
+(inference/export stages skip-if-current) + ``resume=True`` training
+stages, and the results JSON MERGES across launches — a stage not in
+``--stages`` keeps its previously-measured wall (used to keep the
+2798 s measured s0_train after the OOM relaunch).
 
 Usage::
 
@@ -43,6 +61,7 @@ from __future__ import annotations
 
 import copy
 import json
+import subprocess
 import sys
 import threading
 import time
@@ -61,24 +80,67 @@ VAL_SIZE = 500
 N_TEST_IMAGES = 6           # ≈5,000 224/112 five-scale test patches
 TEST_SIZE = 1000
 
+S0B_CHUNK = 2048            # ≈15 GB leaked f32 upload bytes per worker
+                            # (override with --s0b-chunk=N)
+
+STAGE_ORDER = ["gen", "s0_train", "s0b_export", "s1_prep", "s2_train",
+               "s3_infer", "s4_train", "s4b_infer", "s5_train", "s5_test"]
+
+
+def build_cfg(scale: float):
+    """The run's config — shared verbatim by parent and every worker so
+    stage manifests agree across launches."""
+    from pistoseg_tpu.core.config import Config
+
+    cfg = Config()
+    cfg.dataset = "wsss4luad"
+    # bench-rate batch shapes (PERF.md round-4 "Our side")
+    cfg.cam.batch_size = 16
+    # the reference's stage-0 lr (0.01) assumes the pretrained res38d trunk
+    # (OEEM classification train.py); from RANDOM init (no published weights
+    # in this environment) the frozen-BN WRN38 diverges — measured NaN at
+    # step 30 of epoch 0 at scale 1.0.  0.003 is probe-stable; the budget
+    # (epochs × images, the quantity the e2e model composes over) is
+    # unchanged — lr is not a throughput variable.
+    cfg.cam.lr = 0.003
+    cfg.mosaic.batch_size = 64
+    cfg.seg.batch_size = 32
+    if scale != 1.0:
+        cfg.cam.epochs = max(1, round(cfg.cam.epochs * scale))
+        cfg.mosaic.epochs = max(1, round(cfg.mosaic.epochs * scale))
+        cfg.revise.epochs = max(1, round(cfg.revise.epochs * scale))
+        cfg.seg.epochs = max(1, round(cfg.seg.epochs * scale))
+        cfg.synth.num_images = max(64, int(cfg.synth.num_images * scale))
+    return cfg
+
 
 class RssSampler(threading.Thread):
+    """Samples a (worker) pid's RSS; the leak lives in the worker."""
+
     def __init__(self, interval: float = 15.0):
         super().__init__(daemon=True)
         self.interval = interval
         self.samples = []
+        self.pid = None
         self._stop = threading.Event()
 
-    @staticmethod
-    def _rss_gb() -> float:
-        for line in open("/proc/self/status"):
-            if line.startswith("VmRSS"):
-                return int(line.split()[1]) / 1e6
+    def _rss_gb(self) -> float:
+        pid = self.pid
+        if pid is None:
+            return 0.0
+        try:
+            for line in open(f"/proc/{pid}/status"):
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+        except OSError:
+            return 0.0
         return 0.0
 
     def run(self):
         while not self._stop.wait(self.interval):
-            self.samples.append((time.monotonic(), self._rss_gb()))
+            v = self._rss_gb()
+            if v:
+                self.samples.append((time.monotonic(), v))
 
     def stop(self):
         self._stop.set()
@@ -205,10 +267,161 @@ def steady_state_from_log(log_dir: Path, stage: str) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# stage implementations (run inside workers; may initialize the TPU)
+# --------------------------------------------------------------------------
+
+def run_stage(name: str, work: Path, cfg, chunk=None) -> dict:
+    train = str(work / "training")
+    valid, test = work / "validation", work / "testing"
+    logs = work / "logs"
+    cam_dir = work / "CAM" / "train"
+    s0_ckpt = str(logs / "stage0" / "checkpoints")
+    mosaic = work / "mosaic"
+
+    if name == "s0_train":
+        from pistoseg_tpu.stages.stage0_cam import train_stage0
+        return train_stage0(
+            cfg, train, val_images=str(valid / "img"),
+            val_masks=str(valid / "mask"), log_dir=str(logs / "stage0"),
+            shard_cache=str(work / "stage0_shards"), resume=True)
+
+    if name == "s0b_export":
+        from pistoseg_tpu.stages.stage0_export_cam import export_cams
+        return export_cams(cfg, train, s0_ckpt, str(cam_dir), chunk=chunk)
+
+    if name == "s1_prep":
+        from pistoseg_tpu.stages.stage1_split import split_images
+        from pistoseg_tpu.stages.stage1_synthesize import synthesize
+        done = (mosaic / "img").exists() and \
+            len(list((mosaic / "img").glob("*.png"))) >= cfg.synth.num_images
+        r = ({"images": cfg.synth.num_images, "skipped": True} if done
+             else synthesize(cfg, train, str(mosaic)))
+        for gname, root, ps, st, scl in (
+            ("patches_224_56", valid, 224, 56, (1.0,)),
+            ("patches_224_112", valid, 224, 112, (1.0, 1.25, 1.5, 1.75, 2.0)),
+            ("patches_224_112", test, 224, 112, (1.0, 1.25, 1.5, 1.75, 2.0)),
+        ):
+            out = root / gname
+            if not (out / "img").exists() or not any((out / "img").iterdir()):
+                sp = split_images(cfg, str(root), str(out), patch_size=ps,
+                                  stride=st, scales=scl)
+                r[f"{root.name}/{gname}"] = sp.get("patches", 0)
+        return r
+
+    if name == "s2_train":
+        from pistoseg_tpu.stages.stage2_mosaic import train_stage2
+        return train_stage2(
+            cfg, str(mosaic), val_data=str(valid / "patches_224_112"),
+            val_big_root=str(valid), log_dir=str(logs / "stage2"),
+            shard_cache=str(work / "mosaic_shards"), resume=True)
+
+    if name == "s3_infer":
+        from pistoseg_tpu.stages.stage3_infer_pmask import infer_stage3
+        # batch 64 × 8 d4 views = 512-sample effective forward — the largest
+        # shape proven to fit v5e HBM (batch 512 × TTA OOMed at 19.7 GB on a
+        # bf16[4096,112,112,192] decoder intermediate)
+        cfg3 = copy.deepcopy(cfg)
+        cfg3.infer.batch_size = 64
+        return infer_stage3(
+            cfg3, train, str(logs / "stage2" / "checkpoints"),
+            str(work / "pseudo"))
+
+    if name == "s4_train":
+        from pistoseg_tpu.stages.stage4_revise import train_stage4
+        # warm-start the backbone from the stage-0 classifier (the reference
+        # loads the published res38d weights here; absent those files, the
+        # in-pipeline classifier is the non-random source — apply_stage0_trunk)
+        return train_stage4(
+            cfg, train, str(work / "pseudo" / "logits_32x32"), str(cam_dir),
+            log_dir=str(logs / "stage4"), resume=True,
+            pretrained_stage0=s0_ckpt)
+
+    if name == "s4b_infer":
+        from pistoseg_tpu.stages.stage4b_infer_revise import infer_stage4b
+        return infer_stage4b(
+            cfg, train, str(work / "pseudo" / "logits_32x32"), str(cam_dir),
+            str(logs / "stage4" / "checkpoints"),
+            out_dir=str(work / "refine"))
+
+    if name == "s5_train":
+        from pistoseg_tpu.stages.stage5_train import train_stage5
+        return train_stage5(
+            cfg, train, str(work / "refine" / "cam"),
+            val_data=str(valid / "patches_224_56"), val_big_root=str(valid),
+            log_dir=str(logs / "stage5"),
+            shard_cache=str(work / "stage5_shards"), resume=True)
+
+    if name == "s5_test":
+        from pistoseg_tpu.stages.stage5_test import test_stage5
+        cfg5t = copy.deepcopy(cfg)
+        cfg5t.infer.batch_size = 256
+        return test_stage5(
+            cfg5t, str(test / "patches_224_112"),
+            str(logs / "stage5" / "checkpoints"),
+            save_dir=str(logs / "stage5" / "test"), big_root=str(test))
+
+    raise SystemExit(f"unknown worker stage {name}")
+
+
+def worker_main(name: str, work: Path, scale: float, chunk) -> None:
+    import os
+
+    import jax
+
+    # the ambient sitecustomize force-selects the TPU and IGNORES the
+    # JAX_PLATFORMS env var — a CPU logic test of this harness must set
+    # PISTOSEG_PLATFORM=cpu, which we honor the only way that works
+    # (verify-skill gotcha)
+    if os.environ.get("PISTOSEG_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PISTOSEG_PLATFORM"])
+
+    from pistoseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = build_cfg(scale)
+    r = run_stage(name, work, cfg, chunk=chunk)
+    out = {"backend": jax.default_backend()}
+    if isinstance(r, dict):
+        out.update({k: v for k, v in r.items()
+                    if isinstance(v, (int, float, str, bool))})
+    res_dir = work / "results"
+    res_dir.mkdir(exist_ok=True)
+    tag = name if chunk is None else f"{name}.{chunk[0]}_{chunk[1]}"
+    (res_dir / f"{tag}.json").write_text(json.dumps(out))
+
+
+# --------------------------------------------------------------------------
+# parent: spawns one worker per stage, merges results across launches.
+# MUST NOT touch jax — the TPU is exclusive to the live worker.
+# --------------------------------------------------------------------------
+
+def spawn_worker(name: str, work: Path, scale: float, sampler: RssSampler,
+                 chunk=None) -> dict:
+    cmd = [sys.executable, str(Path(__file__).resolve()),
+           f"--worker={name}", f"--workdir={work}", f"--scale={scale}"]
+    tag = name
+    if chunk is not None:
+        cmd.append(f"--chunk={chunk[0]}:{chunk[1]}")
+        tag = f"{name}.{chunk[0]}_{chunk[1]}"
+    proc = subprocess.Popen(cmd)
+    sampler.pid = proc.pid
+    rc = proc.wait()
+    sampler.pid = None
+    if rc != 0:
+        raise RuntimeError(f"worker {tag} exited {rc}")
+    res = work / "results" / f"{tag}.json"
+    return json.loads(res.read_text()) if res.exists() else {}
+
+
 def main():
     workdir = "/tmp/pistoseg_full_budget"
     scale = 1.0
     only = None
+    worker = None
+    chunk = None
+    s0b_chunk = S0B_CHUNK
+    out_override = None
     for a in sys.argv[1:]:
         if a.startswith("--workdir="):
             workdir = a.split("=", 1)[1]
@@ -216,48 +429,58 @@ def main():
             scale = float(a.split("=", 1)[1])
         elif a.startswith("--stages="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--worker="):
+            worker = a.split("=", 1)[1]
+        elif a.startswith("--chunk="):
+            lo, hi = a.split("=", 1)[1].split(":")
+            chunk = (int(lo), int(hi))
+        elif a.startswith("--s0b-chunk="):
+            s0b_chunk = int(a.split("=", 1)[1])
+        elif a.startswith("--out="):
+            out_override = a.split("=", 1)[1]
         else:
             raise SystemExit(f"unknown arg {a}")
     work = Path(workdir)
     work.mkdir(parents=True, exist_ok=True)
-    out_path = _ROOT / "perf" / "full_budget_wsss4luad.json"
-    out_path.parent.mkdir(exist_ok=True)
 
-    import jax
+    if worker is not None:
+        worker_main(worker, work, scale, chunk)
+        return
 
-    from pistoseg_tpu.core.cache import enable_compilation_cache
-    from pistoseg_tpu.core.config import Config
+    out_path = (Path(out_override) if out_override
+                else _ROOT / "perf" / "full_budget_wsss4luad.json")
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    # refuse to clobber a different run's record (a test launch at another
+    # workdir/scale must pass --out; learned the hard way)
+    if out_path.exists() and not out_override:
+        prev_head = json.loads(out_path.read_text())
+        if (prev_head.get("workdir") != str(work)
+                or prev_head.get("scale") != scale):
+            raise SystemExit(
+                f"{out_path} records workdir={prev_head.get('workdir')} "
+                f"scale={prev_head.get('scale')} — pass --out=... for a "
+                "different run")
 
-    enable_compilation_cache()
-    backend = jax.default_backend()
-    print(f"[full-budget] backend={backend} devices={jax.devices()} "
-          f"scale={scale} workdir={work}", flush=True)
+    # merge across launches: stages not executed now keep their previous
+    # measured walls (the whole point of resuming after a crash)
+    results: dict = {"scale": scale, "workdir": str(work), "stage_wall_s": {},
+                     "stage_detail": {}, "started": time.strftime("%F %T")}
+    if out_path.exists():
+        prev = json.loads(out_path.read_text())
+        if prev.get("workdir") == str(work) and prev.get("scale") == scale:
+            for k in ("stage_wall_s", "stage_detail", "dataset", "backend",
+                      "final_metrics", "n_test_patches", "launches"):
+                if k in prev:
+                    results[k] = prev[k]
+    results.setdefault("launches", []).append(
+        {"started": results["started"],
+         "stages": sorted(only) if only else "all"})
 
-    cfg = Config()
-    cfg.dataset = "wsss4luad"
-    # bench-rate batch shapes (PERF.md round-4 "Our side")
-    cfg.cam.batch_size = 16
-    # the reference's stage-0 lr (0.01) assumes the pretrained res38d trunk
-    # (OEEM classification train.py); from RANDOM init (no published weights
-    # in this environment) the frozen-BN WRN38 diverges — measured NaN at
-    # step 30 of epoch 0 at scale 1.0.  0.003 is probe-stable; the budget
-    # (epochs × images, the quantity the e2e model composes over) is
-    # unchanged — lr is not a throughput variable.
-    cfg.cam.lr = 0.003
-    cfg.mosaic.batch_size = 64
-    cfg.seg.batch_size = 32
-    if scale != 1.0:
-        cfg.cam.epochs = max(1, round(cfg.cam.epochs * scale))
-        cfg.mosaic.epochs = max(1, round(cfg.mosaic.epochs * scale))
-        cfg.revise.epochs = max(1, round(cfg.revise.epochs * scale))
-        cfg.seg.epochs = max(1, round(cfg.seg.epochs * scale))
-        cfg.synth.num_images = max(64, int(cfg.synth.num_images * scale))
+    print(f"[full-budget] scale={scale} workdir={work} "
+          f"stages={sorted(only) if only else 'all'}", flush=True)
 
     sampler = RssSampler()
     sampler.start()
-    results: dict = {"backend": backend, "scale": scale,
-                     "workdir": str(work), "stage_wall_s": {},
-                     "stage_detail": {}, "started": time.strftime("%F %T")}
 
     def save():
         results["rss"] = sampler.summary()
@@ -273,6 +496,8 @@ def main():
         dt = time.monotonic() - t0
         results["stage_wall_s"][name] = round(dt, 1)
         if isinstance(r, dict):
+            if "backend" in r:
+                results["backend"] = r["backend"]
             results["stage_detail"].setdefault(name, {}).update(
                 {k: v for k, v in r.items()
                  if isinstance(v, (int, float, str, bool))})
@@ -285,132 +510,80 @@ def main():
     info = timed("gen", lambda: gen_dataset(work, scale))
     if info:
         results["dataset"] = info
+        save()
+    n_train = results.get("dataset", {}).get(
+        "n_train", len(list((work / "training").glob("*.png"))))
 
-    train = str(work / "training")
-    valid, test = work / "validation", work / "testing"
     logs = work / "logs"
 
-    from pistoseg_tpu.stages.stage0_cam import train_stage0
-    from pistoseg_tpu.stages.stage0_export_cam import export_cams
-    from pistoseg_tpu.stages.stage1_split import split_images
-    from pistoseg_tpu.stages.stage1_synthesize import synthesize
-    from pistoseg_tpu.stages.stage2_mosaic import train_stage2
-    from pistoseg_tpu.stages.stage3_infer_pmask import infer_stage3
-    from pistoseg_tpu.stages.stage4_revise import train_stage4
-    from pistoseg_tpu.stages.stage4b_infer_revise import infer_stage4b
-    from pistoseg_tpu.stages.stage5_test import test_stage5
-    from pistoseg_tpu.stages.stage5_train import train_stage5
+    def s0b():
+        # chunked workers: each leaks ≤ chunk × ~7.6 MB and exits (see
+        # module docstring); completed chunks are skipped on relaunch via
+        # the per-stem existence check in export_cams(chunk=...)
+        last = {}
+        for lo in range(0, n_train, s0b_chunk):
+            hi = min(lo + s0b_chunk, n_train)
+            last = spawn_worker("s0b_export", work, scale, sampler,
+                                chunk=(lo, hi))
+            if last.get("skipped"):
+                print("[full-budget] s0b_export manifest current — skip",
+                      flush=True)
+                return last
+        return last
 
-    # ---- stage 0: classifier train (run.sh:44) ---------------------------
-    r0 = timed("s0_train", lambda: train_stage0(
-        cfg, train, val_images=str(valid / "img"),
-        val_masks=str(valid / "mask"), log_dir=str(logs / "stage0"),
-        shard_cache=str(work / "stage0_shards"), resume=True))
-    if r0:
-        results["stage_detail"].setdefault("s0_train", {}).update(
-            steady_state_from_log(logs / "stage0", "stage0"))
-        save()
+    stage_fns = {
+        "s0_train": lambda: spawn_worker("s0_train", work, scale, sampler),
+        "s0b_export": s0b,
+        "s1_prep": lambda: spawn_worker("s1_prep", work, scale, sampler),
+        "s2_train": lambda: spawn_worker("s2_train", work, scale, sampler),
+        "s3_infer": lambda: spawn_worker("s3_infer", work, scale, sampler),
+        "s4_train": lambda: spawn_worker("s4_train", work, scale, sampler),
+        "s4b_infer": lambda: spawn_worker("s4b_infer", work, scale, sampler),
+        "s5_train": lambda: spawn_worker("s5_train", work, scale, sampler),
+        "s5_test": lambda: spawn_worker("s5_test", work, scale, sampler),
+    }
+    log_stage = {"s0_train": ("stage0", "stage0"), "s2_train": ("stage2", "stage2"),
+                 "s4_train": ("stage4", "stage4"), "s5_train": ("stage5", "stage5")}
 
-    # ---- stage 0b: CAM export (run.sh:52) --------------------------------
-    cam_dir = work / "CAM" / "train"
-    s0_ckpt = str(logs / "stage0" / "checkpoints")
-    timed("s0b_export", lambda: export_cams(cfg, train, s0_ckpt, str(cam_dir)))
-
-    # ---- stage 1: mosaics + patch grids (host-side prep) ----------------
-    mosaic = work / "mosaic"
-
-    def s1():
-        done = (mosaic / "img").exists() and \
-            len(list((mosaic / "img").glob("*.png"))) >= cfg.synth.num_images
-        r = ({"images": cfg.synth.num_images, "skipped": True} if done
-             else synthesize(cfg, train, str(mosaic)))
-        for name, root, ps, st, scl in (
-            ("patches_224_56", valid, 224, 56, (1.0,)),
-            ("patches_224_112", valid, 224, 112, (1.0, 1.25, 1.5, 1.75, 2.0)),
-            ("patches_224_112", test, 224, 112, (1.0, 1.25, 1.5, 1.75, 2.0)),
-        ):
-            out = root / name
-            if not (out / "img").exists() or not any((out / "img").iterdir()):
-                sp = split_images(cfg, str(root), str(out), patch_size=ps,
-                                  stride=st, scales=scl)
-                r[f"{root.name}/{name}"] = sp.get("patches", 0)
-        return r
-
-    timed("s1_prep", s1)
-    n_test_patches = len(list((test / "patches_224_112" / "img").glob("*.png")))
-    results["n_test_patches"] = n_test_patches
-    save()
-
-    # ---- stage 2: mosaic segmentation (run.sh:15-17), shard cache -------
-    timed("s2_train", lambda: train_stage2(
-        cfg, str(mosaic), val_data=str(valid / "patches_224_112"),
-        val_big_root=str(valid), log_dir=str(logs / "stage2"),
-        shard_cache=str(work / "mosaic_shards"), resume=True))
-    results["stage_detail"].setdefault("s2_train", {}).update(
-        steady_state_from_log(logs / "stage2", "stage2"))
-    save()
-
-    # ---- stage 3: pseudo-mask inference, d4 TTA ---------------------------
-    # batch 64 × 8 d4 views = 512-sample effective forward — the largest
-    # shape proven to fit v5e HBM (batch 512 × TTA OOMed at 19.7 GB on a
-    # bf16[4096,112,112,192] decoder intermediate)
-    cfg3 = copy.deepcopy(cfg)
-    cfg3.infer.batch_size = 64
-    timed("s3_infer", lambda: infer_stage3(
-        cfg3, train, str(logs / "stage2" / "checkpoints"),
-        str(work / "pseudo")))
-
-    # ---- stage 4: RFM revise train (run.sh:21) ---------------------------
-    # warm-start the backbone from the stage-0 classifier (the reference
-    # loads the published res38d weights here; absent those files, the
-    # in-pipeline classifier is the non-random source — apply_stage0_trunk)
-    r4 = timed("s4_train", lambda: train_stage4(
-        cfg, train, str(work / "pseudo" / "logits_32x32"), str(cam_dir),
-        log_dir=str(logs / "stage4"), resume=True,
-        pretrained_stage0=s0_ckpt))
-    results["stage_detail"].setdefault("s4_train", {}).update(
-        steady_state_from_log(logs / "stage4", "stage4"))
-    save()
-
-    # ---- stage 4b: refined-mask inference @256² --------------------------
-    timed("s4b_infer", lambda: infer_stage4b(
-        cfg, train, str(work / "pseudo" / "logits_32x32"), str(cam_dir),
-        str(logs / "stage4" / "checkpoints"), out_dir=str(work / "refine")))
-
-    # ---- stage 5: precise segmentation (run.sh:31), shard cache ---------
-    timed("s5_train", lambda: train_stage5(
-        cfg, train, str(work / "refine" / "cam"),
-        val_data=str(valid / "patches_224_56"), val_big_root=str(valid),
-        log_dir=str(logs / "stage5"),
-        shard_cache=str(work / "stage5_shards"), resume=True))
-    results["stage_detail"].setdefault("s5_train", {}).update(
-        steady_state_from_log(logs / "stage5", "stage5"))
-    save()
-
-    # ---- stage 5 test (run.sh:33-38) -------------------------------------
-    cfg5t = copy.deepcopy(cfg)
-    cfg5t.infer.batch_size = 256
-    m = timed("s5_test", lambda: test_stage5(
-        cfg5t, str(test / "patches_224_112"),
-        str(logs / "stage5" / "checkpoints"),
-        save_dir=str(logs / "stage5" / "test"), big_root=str(test)))
-    if m:
-        results["final_metrics"] = {k: round(float(v), 4)
-                                    for k, v in m.items()}
+    for name in STAGE_ORDER[1:]:
+        r = timed(name, stage_fns[name])
+        if r is not None and name in log_stage:
+            sub, st = log_stage[name]
+            results["stage_detail"].setdefault(name, {}).update(
+                steady_state_from_log(logs / sub, st))
+            save()
+        if r is not None and name == "s1_prep":
+            results["n_test_patches"] = len(list(
+                (work / "testing" / "patches_224_112" / "img").glob("*.png")))
+            save()
+        if r is not None and name == "s5_test":
+            results["final_metrics"] = {
+                k: round(float(v), 4) for k, v in r.items()
+                if isinstance(v, (int, float)) and k != "backend"}
+            save()
 
     # ---- summary: measured vs the composed model -------------------------
     sampler.stop()
     stage_wall = results["stage_wall_s"]
     pipeline_keys = [k for k in stage_wall if k not in ("gen", "s1_prep")]
     measured_total = sum(stage_wall[k] for k in pipeline_keys)
+    # a partial run (crash, --stages subset) must NOT masquerade as the
+    # full measured pipeline — bench.py only promotes complete summaries
+    complete = all(k in stage_wall for k in STAGE_ORDER)
     summary = {
-        "backend": backend,
+        "backend": results.get("backend"),
         "scale": scale,
-        "e2e_measured_hours": round(sum(stage_wall.values()) / 3600.0, 3),
-        "e2e_device_stages_hours": round(measured_total / 3600.0, 3),
+        "complete": complete,
+        "e2e_measured_hours": (
+            round(sum(stage_wall.values()) / 3600.0, 3) if complete
+            else None),
+        "e2e_device_stages_hours": (
+            round(measured_total / 3600.0, 3) if complete else None),
+        "device_stages_partial_hours": round(measured_total / 3600.0, 3),
         "host_prep_hours": round(
             sum(stage_wall.get(k, 0) for k in ("gen", "s1_prep")) / 3600.0, 3),
         "stage_wall_s": stage_wall,
+        "stages_measured": sorted(stage_wall),
     }
     # composed per-stage model (BENCH_r04 rates over these budgets)
     bench_path = _ROOT / "BENCH_r04.json"
