@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import subprocess
 import sys
 import threading
@@ -111,6 +112,15 @@ def build_cfg(scale: float):
         cfg.revise.epochs = max(1, round(cfg.revise.epochs * scale))
         cfg.seg.epochs = max(1, round(cfg.seg.epochs * scale))
         cfg.synth.num_images = max(64, int(cfg.synth.num_images * scale))
+    # PISTOSEG_S0_EPOCHS: checkpoint-REPRODUCTION override, not a budget
+    # change.  Used after the workdir (but not the results JSON) is lost:
+    # the full-budget s0_train wall stays the previously-measured 20-epoch
+    # number (merge semantics), while a short re-train rebuilds the stage-0
+    # checkpoint the downstream stages consume.  Launches recording a wall
+    # under this override must write to a scratch --out (the parent refuses
+    # nothing here — provenance is recorded in the launch row).
+    if os.environ.get("PISTOSEG_S0_EPOCHS"):
+        cfg.cam.epochs = int(os.environ["PISTOSEG_S0_EPOCHS"])
     return cfg
 
 
@@ -472,9 +482,12 @@ def main():
                       "final_metrics", "n_test_patches", "launches"):
                 if k in prev:
                     results[k] = prev[k]
-    results.setdefault("launches", []).append(
-        {"started": results["started"],
-         "stages": sorted(only) if only else "all"})
+    launch_row = {"started": results["started"],
+                  "stages": sorted(only) if only else "all"}
+    if os.environ.get("PISTOSEG_S0_EPOCHS"):
+        launch_row["s0_epochs_override"] = int(
+            os.environ["PISTOSEG_S0_EPOCHS"])
+    results.setdefault("launches", []).append(launch_row)
 
     print(f"[full-budget] scale={scale} workdir={work} "
           f"stages={sorted(only) if only else 'all'}", flush=True)
