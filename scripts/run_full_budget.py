@@ -401,6 +401,54 @@ def worker_main(name: str, work: Path, scale: float, chunk) -> None:
     (res_dir / f"{tag}.json").write_text(json.dumps(out))
 
 
+def compute_summary(results: dict, scale: float, sampler: RssSampler) -> dict:
+    """Measured walls vs the composed per-stage model (BENCH_r04 rates).
+
+    Safe to call on a PARTIAL results dict: ``complete`` is only true when
+    every stage in STAGE_ORDER has a measured wall, and the e2e hours are
+    withheld until then — a crashed/interrupted launch must not masquerade
+    as the full measured pipeline (bench.py keys off ``complete``).
+    """
+    stage_wall = results["stage_wall_s"]
+    pipeline_keys = [k for k in stage_wall if k not in ("gen", "s1_prep")]
+    measured_total = sum(stage_wall[k] for k in pipeline_keys)
+    complete = all(k in stage_wall for k in STAGE_ORDER)
+    summary = {
+        "backend": results.get("backend"),
+        "scale": scale,
+        "complete": complete,
+        "e2e_measured_hours": (
+            round(sum(stage_wall.values()) / 3600.0, 3) if complete
+            else None),
+        "e2e_device_stages_hours": (
+            round(measured_total / 3600.0, 3) if complete else None),
+        "device_stages_partial_hours": round(measured_total / 3600.0, 3),
+        "host_prep_hours": round(
+            sum(stage_wall.get(k, 0) for k in ("gen", "s1_prep")) / 3600.0, 3),
+        "stage_wall_s": stage_wall,
+        "stages_measured": sorted(stage_wall),
+    }
+    # composed per-stage model (BENCH_r04 rates over these budgets)
+    bench_path = _ROOT / "BENCH_r04.json"
+    if scale == 1.0 and bench_path.exists():
+        model = json.loads(bench_path.read_text())["parsed"]["extras"]["e2e"][
+            "ours_stage_s"]
+        ratios, flags = {}, []
+        for name in ("s0_train", "s0b_export", "s2_train", "s3_infer",
+                     "s4_train", "s4b_infer", "s5_train", "s5_test"):
+            if name in stage_wall and model.get(name):
+                r = stage_wall[name] / model[name]
+                ratios[name] = round(r, 2)
+                if r > 1.3:
+                    flags.append(name)
+        summary["vs_composed_model"] = ratios
+        summary["stages_over_1p3x"] = flags
+        summary["composed_model_hours"] = round(
+            sum(model.values()) / 3600.0, 3)
+    summary["rss"] = sampler.summary()
+    return summary
+
+
 # --------------------------------------------------------------------------
 # parent: spawns one worker per stage, merges results across launches.
 # MUST NOT touch jax — the TPU is exclusive to the live worker.
@@ -497,6 +545,11 @@ def main():
 
     def save():
         results["rss"] = sampler.summary()
+        # summary is recomputed on EVERY save so a launch killed mid-run
+        # (session end, OOM) still leaves a compact partial summary with
+        # complete=False — bench.py embeds this instead of the raw dict
+        # and only promotes the measured headline when complete is true
+        results["summary"] = compute_summary(results, scale, sampler)
         out_path.write_text(json.dumps(results, indent=2, sort_keys=True))
 
     def timed(name, fn):
@@ -577,51 +630,8 @@ def main():
 
     # ---- summary: measured vs the composed model -------------------------
     sampler.stop()
-    stage_wall = results["stage_wall_s"]
-    pipeline_keys = [k for k in stage_wall if k not in ("gen", "s1_prep")]
-    measured_total = sum(stage_wall[k] for k in pipeline_keys)
-    # a partial run (crash, --stages subset) must NOT masquerade as the
-    # full measured pipeline — bench.py only promotes complete summaries
-    complete = all(k in stage_wall for k in STAGE_ORDER)
-    summary = {
-        "backend": results.get("backend"),
-        "scale": scale,
-        "complete": complete,
-        "e2e_measured_hours": (
-            round(sum(stage_wall.values()) / 3600.0, 3) if complete
-            else None),
-        "e2e_device_stages_hours": (
-            round(measured_total / 3600.0, 3) if complete else None),
-        "device_stages_partial_hours": round(measured_total / 3600.0, 3),
-        "host_prep_hours": round(
-            sum(stage_wall.get(k, 0) for k in ("gen", "s1_prep")) / 3600.0, 3),
-        "stage_wall_s": stage_wall,
-        "stages_measured": sorted(stage_wall),
-    }
-    # composed per-stage model (BENCH_r04 rates over these budgets)
-    bench_path = _ROOT / "BENCH_r04.json"
-    if scale == 1.0 and bench_path.exists():
-        model = json.loads(bench_path.read_text())["parsed"]["extras"]["e2e"][
-            "ours_stage_s"]
-        name_map = {"s0_train": "s0_train", "s0b_export": "s0b_export",
-                    "s2_train": "s2_train", "s3_infer": "s3_infer",
-                    "s4_train": "s4_train", "s4b_infer": "s4b_infer",
-                    "s5_train": "s5_train", "s5_test": "s5_test"}
-        ratios, flags = {}, []
-        for meas, comp in name_map.items():
-            if meas in stage_wall and comp in model and model[comp]:
-                r = stage_wall[meas] / model[comp]
-                ratios[meas] = round(r, 2)
-                if r > 1.3:
-                    flags.append(meas)
-        summary["vs_composed_model"] = ratios
-        summary["stages_over_1p3x"] = flags
-        summary["composed_model_hours"] = round(
-            sum(model.values()) / 3600.0, 3)
-    summary["rss"] = sampler.summary()
-    results["summary"] = summary
     save()
-    print(json.dumps(summary, indent=2, sort_keys=True))
+    print(json.dumps(results["summary"], indent=2, sort_keys=True))
 
 
 if __name__ == "__main__":
